@@ -1,0 +1,306 @@
+"""GEMM ladder — TPU-native rebuild of the reference's GEMM progression.
+
+Reference ladder (SURVEY.md section 2.1, all CUDA):
+  naive (naive_gemm.cu:38-57) -> SMEM-tiled (gemm_naive_tiled.cu:69-120) ->
+  cp.async double-buffered (gemm_4_1_4_3.cu:166-236) -> WMMA tensor-core
+  (tensorcore_gemm.cu:39-84) -> batched (gemm_4_8_batched.cu:38-95) ->
+  fused epilogue ReLU(A@B+bias)+residual (gemm_fused_epilogue.cu:44-111,
+  tensorcore_gemm_fused_epilogue.cu:53-130).
+
+TPU mapping: WMMA 16x16 fragments -> MXU 128x128 tiles; SMEM tiles ->
+VMEM BlockSpecs; the cp.async double-buffer -> Pallas' implicit multi-buffered
+grid pipeline (the pipeline emitter overlaps the HBM->VMEM copy of block t+1
+with compute on block t automatically — hand-rolled ping-pong buffers would
+fight the compiler). The "naive" rung is plain jnp.dot: on TPU the XLA
+baseline already tiles onto the MXU, so it is the meaningful baseline.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattention_kernel_project_tpu.utils.platform import default_interpret
+
+
+def _precision(dtype) -> jax.lax.Precision:
+    """fp32 inputs get the 3-pass bf16 ("HIGHEST") MXU path so the fp32 rung
+    is numerically fp32, like the reference's fp32 CUDA-core GEMMs; bf16/int8
+    inputs take the native fast path."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def _pad_to(x: jax.Array, multiples: tuple[int, ...]) -> jax.Array:
+    """Zero-pad trailing dims of x up to the given multiples."""
+    pads = [(0, 0)] * (x.ndim - len(multiples))
+    needs = False
+    for dim, m in zip(x.shape[-len(multiples):], multiples):
+        pad = (-dim) % m
+        pads.append((0, pad))
+        needs = needs or pad > 0
+    return jnp.pad(x, pads) if needs else x
+
+
+# ---------------------------------------------------------------------------
+# Rung 0: naive / XLA baseline
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def matmul_xla(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Baseline GEMM: XLA's own MXU tiling (the reference's naive rung,
+    naive_gemm.cu:38-57 — but on TPU "naive" already means compiler-tiled)."""
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32, precision=_precision(a.dtype)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rungs 1-3: blocked Pallas GEMM (fp32 and bf16->fp32 MXU), K-pipelined
+# ---------------------------------------------------------------------------
+
+def _matmul_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        a_ref[:],
+        b_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=_precision(a_ref.dtype),
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret"),
+)
+def matmul(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Blocked Pallas GEMM, fp32 accumulation on the MXU.
+
+    The VMEM BlockSpecs are the reference's SMEM tiles
+    (gemm_naive_tiled.cu:69-120); the 3rd ("arbitrary") grid dim walks K with
+    a revolving fp32 accumulator, and Pallas' pipeline emitter double-buffers
+    the HBM->VMEM tile copies exactly like the reference's cp.async ping-pong
+    (gemm_4_1_4_3.cu:174-231) — but correct by construction.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    m, k = a.shape
+    k2, n = b.shape
+    assert k == k2, (a.shape, b.shape)
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    block_k = min(block_k, k)
+    a = _pad_to(a, (block_m, block_k))
+    b = _pad_to(b, (block_k, block_n))
+    mp, kp = a.shape
+    np_ = b.shape[1]
+    n_k = kp // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_matmul_kernel, n_k=n_k),
+        grid=(mp // block_m, np_ // block_n, n_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=(mp * kp + kp * np_) * a.dtype.itemsize
+            + mp * np_ * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a, b)
+    return out[:m, :n]
+
+
+def matmul_bf16(a, b, **kw):
+    """MXU tensor-core rung (tensorcore_gemm.cu:39-84 analog):
+    bf16 inputs, fp32 accumulation via preferred_element_type."""
+    return matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), **kw)
+
+
+# ---------------------------------------------------------------------------
+# Rung 4: batched GEMM (leading grid dimension = batch)
+# ---------------------------------------------------------------------------
+
+def _batched_matmul_kernel(a_ref, b_ref, o_ref, acc_ref, *, n_k: int):
+    k = pl.program_id(3)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        a_ref[0],
+        b_ref[0],
+        preferred_element_type=jnp.float32,
+        precision=_precision(a_ref.dtype),
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret"),
+)
+def batched_matmul(
+    a: jax.Array,
+    b: jax.Array,
+    *,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Batched blocked GEMM: batch as leading parallel grid dim — the TPU
+    analog of grid.z-batched launches (gemm_4_8_batched.cu:161-164,
+    gemm_4_9_tensorcore_batched.cu:50-66)."""
+    if interpret is None:
+        interpret = default_interpret()
+    bsz, m, k = a.shape
+    _, k2, n = b.shape
+    assert k == k2
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    block_k = min(block_k, k)
+    a = _pad_to(a, (block_m, block_k))
+    b = _pad_to(b, (block_k, block_n))
+    mp, kp = a.shape[1:]
+    np_ = b.shape[2]
+    n_k = kp // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_batched_matmul_kernel, n_k=n_k),
+        grid=(bsz, mp // block_m, np_ // block_n, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_m, block_k), lambda bb, i, j, kk: (bb, i, kk)),
+            pl.BlockSpec((1, block_k, block_n), lambda bb, i, j, kk: (bb, kk, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_m, block_n), lambda bb, i, j, kk: (bb, i, j)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(a, b)
+    return out[:, :m, :n]
+
+
+# ---------------------------------------------------------------------------
+# Rung 5: fused epilogue — C = ReLU(A@B + bias) + residual
+# ---------------------------------------------------------------------------
+
+def _fused_epilogue_kernel(a_ref, b_ref, bias_ref, res_ref, o_ref, acc_ref, *, n_k):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        a_ref[:],
+        b_ref[:],
+        preferred_element_type=jnp.float32,
+        precision=_precision(a_ref.dtype),
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        c = acc_ref[:] + bias_ref[:].astype(jnp.float32)
+        c = jnp.maximum(c, 0.0) + res_ref[:].astype(jnp.float32)
+        o_ref[:] = c.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret"),
+)
+def matmul_fused_epilogue(
+    a: jax.Array,
+    b: jax.Array,
+    bias: jax.Array,
+    residual: jax.Array,
+    *,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """C = ReLU(A@B + bias[col]) + residual, epilogue fused in-register on the
+    final K step — the reference's fragment->smem->elementwise pattern
+    (tensorcore_gemm_fused_epilogue.cu:91-128) collapses to VPU ops on the
+    fp32 accumulator before the single HBM store."""
+    if interpret is None:
+        interpret = default_interpret()
+    m, k = a.shape
+    _, n = b.shape
+    assert bias.shape == (n,) and residual.shape == (m, n)
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    block_k = min(block_k, k)
+    a = _pad_to(a, (block_m, block_k))
+    b = _pad_to(b, (block_k, block_n))
+    bias2d = _pad_to(bias[None, :], (1, block_n))
+    residual = _pad_to(residual, (block_m, block_n))
+    mp, kp = a.shape
+    np_ = b.shape[1]
+    n_k = kp // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_fused_epilogue_kernel, n_k=n_k),
+        grid=(mp // block_m, np_ // block_n, n_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+            pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(a, b, bias2d, residual)
+    return out[:m, :n]

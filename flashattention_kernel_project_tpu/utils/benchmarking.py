@@ -1,0 +1,96 @@
+"""Benchmark harness — the reference's uniform `main()` as a library.
+
+Every reference binary follows the same skeleton (SURVEY.md section 3.1,
+`GEMM/naive_GEMM/naive_gemm.cu:76-165`): fixed-seed init -> warmup launch ->
+timed launch loop (cudaEvent) -> derived GFLOPS/GB/s -> CPU-oracle verify.
+This module is that skeleton, once, for all kernels: `jax.block_until_ready`
+timing with warmup, FLOP/byte-derived TFLOP/s and GB/s, and roofline
+fractions against the attached chip's peaks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+
+from flashattention_kernel_project_tpu.utils import platform
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    mean_ms: float
+    min_ms: float
+    iters: int
+    flops: int | None = None
+    bytes_accessed: int | None = None
+
+    @property
+    def tflops(self) -> float | None:
+        if self.flops is None:
+            return None
+        return self.flops / (self.mean_ms * 1e-3) / 1e12
+
+    @property
+    def gbps(self) -> float | None:
+        if self.bytes_accessed is None:
+            return None
+        return self.bytes_accessed / (self.mean_ms * 1e-3) / 1e9
+
+    def roofline_fraction(self, dtype: str = "bf16") -> float | None:
+        """min over compute/memory rooflines actually binding this kernel."""
+        fracs = []
+        if self.flops is not None:
+            fracs.append(self.tflops * 1e12 / platform.tpu_peak_flops(dtype))
+        if self.bytes_accessed is not None:
+            fracs.append(self.gbps * 1e9 / platform.tpu_hbm_bandwidth())
+        return max(fracs) if fracs else None
+
+    def report(self, dtype: str = "bf16") -> str:
+        parts = [f"{self.name}: {self.mean_ms:.4f} ms (min {self.min_ms:.4f})"]
+        if self.flops is not None:
+            parts.append(f"{self.tflops:.2f} TFLOP/s")
+        if self.bytes_accessed is not None:
+            parts.append(f"{self.gbps:.1f} GB/s")
+        frac = self.roofline_fraction(dtype)
+        if frac is not None:
+            parts.append(f"{100.0 * frac:.1f}% of roofline")
+        return " | ".join(parts)
+
+
+def benchmark(
+    fn: Callable[..., Any],
+    *args: Any,
+    name: str = "kernel",
+    warmup: int = 3,
+    iters: int = 20,
+    flops: int | None = None,
+    bytes_accessed: int | None = None,
+) -> BenchResult:
+    """Time `fn(*args)` like the reference's cudaEvent loops.
+
+    `fn` should already be jitted; the first call compiles (excluded via
+    warmup, like the reference's warmup launch `naive_gemm.cu:119-121`).
+    """
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    return BenchResult(
+        name=name,
+        mean_ms=1e3 * sum(times) / len(times),
+        min_ms=1e3 * min(times),
+        iters=iters,
+        flops=flops,
+        bytes_accessed=bytes_accessed,
+    )

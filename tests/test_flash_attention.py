@@ -1,0 +1,119 @@
+"""Fused FlashAttention forward vs naive CPU oracle, plus gradient checks.
+
+Mirrors the reference's verification (rel-L2, flashattn_streaming_16x16.cu:
+413-421) with asserted <=1e-2 bounds; the causal/tail cases cover exactly
+what the reference never handled (multiple-of-tile assumptions)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattention_kernel_project_tpu import ops
+from flashattention_kernel_project_tpu.utils import oracles
+from flashattention_kernel_project_tpu.utils.testing import assert_rel_l2
+
+
+def _rand_qkv(rng, b, hq, hkv, n, s, d, dtype=np.float32):
+    q = rng.standard_normal((b, hq, n, d)).astype(dtype)
+    k = rng.standard_normal((b, hkv, s, d)).astype(dtype)
+    v = rng.standard_normal((b, hkv, s, d)).astype(dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("n,s", [(256, 256), (128, 384)])
+def test_flash_forward_mha(rng, causal, n, s):
+    q, k, v = _rand_qkv(rng, 2, 2, 2, n, s, 64)
+    got = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=causal, block_q=128, block_k=128,
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=causal)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
+def test_flash_forward_gqa(rng):
+    q, k, v = _rand_qkv(rng, 1, 8, 2, 256, 256, 64)
+    got = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True,
+        block_q=128, block_k=128,
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=True)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
+def test_flash_forward_ragged_tail(rng):
+    """Non-multiple-of-block shapes — the masking the reference lacked."""
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 200, 333, 64)
+    got = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True,
+        block_q=128, block_k=128,
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=True)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
+def test_flash_forward_q_offset(rng):
+    """Chunked prefill: query block positioned mid-sequence."""
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 384, 64)
+    got = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=True, q_offset=256, block_q=128, block_k=128,
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=True, q_offset=256)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
+def test_flash_forward_bf16(rng):
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 256, 256, 64)
+    got = ops.flash_attention(
+        jnp.asarray(q, dtype=jnp.bfloat16),
+        jnp.asarray(k, dtype=jnp.bfloat16),
+        jnp.asarray(v, dtype=jnp.bfloat16),
+        causal=True, block_q=128, block_k=128,
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=True)
+    assert_rel_l2(np.asarray(got, np.float32), exp, tol=2e-2)
+
+
+def test_flash_lse(rng):
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 256, 64)
+    _, lse = ops.flash_attention_with_lse(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), block_q=128, block_k=128
+    )
+    scores = np.einsum("bhnd,bhsd->bhns", q, k) / np.sqrt(64)
+    exp_lse = np.log(np.sum(np.exp(scores - scores.max(-1, keepdims=True)), -1)) + scores.max(-1)
+    assert_rel_l2(lse, exp_lse, tol=1e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_gradients(rng, causal):
+    """Gradients vs autodiff through the naive attention expression."""
+    q, k, v = _rand_qkv(rng, 1, 4, 2, 64, 96, 32)
+    qj, kj, vj = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+    def naive(q, k, v):
+        g = q.shape[1] // k.shape[1]
+        kk = jnp.repeat(k, g, axis=1)
+        vv = jnp.repeat(v, g, axis=1)
+        s = jnp.einsum("bhnd,bhsd->bhns", q, kk) / np.sqrt(q.shape[-1])
+        if causal:
+            n, sl = s.shape[-2], s.shape[-1]
+            mask = jnp.arange(sl)[None, :] > jnp.arange(n)[:, None]
+            s = jnp.where(mask, -1e30, s)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhns,bhsd->bhnd", p, vv)
+
+    def loss_flash(q, k, v):
+        o = ops.flash_attention(q, k, v, causal=causal, block_q=32, block_k=32)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_naive(q, k, v):
+        o = naive(q, k, v)
+        return jnp.sum(o * jnp.cos(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(qj, kj, vj)
+    g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(qj, kj, vj)
+    for gf, gn in zip(g_flash, g_naive):
+        assert_rel_l2(gf, gn, tol=1e-3)

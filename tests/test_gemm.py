@@ -1,0 +1,57 @@
+"""GEMM ladder vs CPU oracle — the reference's per-binary verify loop
+(naive_gemm.cu:144-152 max-abs-diff) as parametrized pytest."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattention_kernel_project_tpu import ops
+from flashattention_kernel_project_tpu.utils import oracles
+from flashattention_kernel_project_tpu.utils.testing import assert_max_abs, assert_rel_l2
+
+
+@pytest.mark.parametrize("m,k,n", [(256, 256, 256), (512, 384, 256), (200, 130, 72)])
+def test_matmul_fp32(rng, m, k, n):
+    a = rng.standard_normal((m, k), dtype=np.float32)
+    b = rng.standard_normal((k, n), dtype=np.float32)
+    got = ops.matmul(jnp.asarray(a), jnp.asarray(b), block_m=128, block_n=128, block_k=128)
+    assert_max_abs(got, oracles.gemm(a, b), tol=1e-2)
+
+
+def test_matmul_xla_baseline(rng):
+    a = rng.standard_normal((128, 256), dtype=np.float32)
+    b = rng.standard_normal((256, 64), dtype=np.float32)
+    assert_max_abs(ops.matmul_xla(jnp.asarray(a), jnp.asarray(b)), oracles.gemm(a, b), tol=1e-2)
+
+
+def test_matmul_bf16(rng):
+    a = rng.standard_normal((256, 256), dtype=np.float32)
+    b = rng.standard_normal((256, 256), dtype=np.float32)
+    got = ops.matmul_bf16(jnp.asarray(a), jnp.asarray(b), block_m=128, block_n=128, block_k=128)
+    # bf16 inputs: compare against oracle on the rounded inputs, rel-L2
+    a16 = np.asarray(jnp.asarray(a).astype(jnp.bfloat16).astype(jnp.float32))
+    b16 = np.asarray(jnp.asarray(b).astype(jnp.bfloat16).astype(jnp.float32))
+    assert_rel_l2(got, oracles.gemm(a16, b16), tol=1e-2)
+
+
+@pytest.mark.parametrize("bsz", [1, 4])
+def test_batched_matmul(rng, bsz):
+    a = rng.standard_normal((bsz, 256, 128), dtype=np.float32)
+    b = rng.standard_normal((bsz, 128, 192), dtype=np.float32)
+    got = ops.batched_matmul(
+        jnp.asarray(a), jnp.asarray(b), block_m=128, block_n=128, block_k=128
+    )
+    assert_max_abs(got, oracles.gemm(a, b), tol=1e-2)
+
+
+def test_matmul_fused_epilogue(rng):
+    m, k, n = 256, 192, 256
+    a = rng.standard_normal((m, k), dtype=np.float32)
+    b = rng.standard_normal((k, n), dtype=np.float32)
+    bias = rng.standard_normal(n, dtype=np.float32)
+    res = rng.standard_normal((m, n), dtype=np.float32)
+    got = ops.matmul_fused_epilogue(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(bias), jnp.asarray(res),
+        block_m=128, block_n=128, block_k=64,
+    )
+    assert_max_abs(got, oracles.gemm_fused_epilogue(a, b, bias, res), tol=1e-2)
