@@ -18,3 +18,16 @@ from flashattention_kernel_project_tpu.ops.flash_attention import (  # noqa: F40
     flash_attention,
     flash_attention_with_lse,
 )
+from flashattention_kernel_project_tpu.ops.flash_decode import (  # noqa: F401
+    flash_decode,
+    flash_decode_int8,
+    merge_partials,
+)
+from flashattention_kernel_project_tpu.ops.quant import (  # noqa: F401
+    quantize_int8,
+    dequantize_int8,
+    quantize_fp8,
+    dequantize_fp8,
+    quantize_kv,
+    matmul_int8_weights,
+)

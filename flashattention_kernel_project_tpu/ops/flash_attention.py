@@ -96,6 +96,7 @@ def _fwd_kernel(
 
         # Tail mask (padded keys) and causal mask, both as iota compares.
         need_tail = kv_len % block_k != 0
+        mask = None
         if causal or need_tail:
             col = kv_idx * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 1
@@ -116,6 +117,12 @@ def _fwd_kernel(
         m_next = jnp.maximum(m_prev, m_tile)  # broadcast -> [block_q, LANES]
         scale_old = jnp.exp(m_prev - m_next)  # [block_q, LANES]
         p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
+        if mask is not None:
+            # A row whose every column is masked in this KV block has
+            # s == m_next == NEG_INF, so exp(s - m_next) would be 1, not 0
+            # (the reference's 5.4-style corruption in a new disguise) —
+            # zero masked entries explicitly.
+            p = jnp.where(mask, p, 0.0)
         l_next = l_prev * scale_old + jnp.sum(p, axis=-1, keepdims=True)
 
         m_scr[:] = m_next

@@ -1,0 +1,309 @@
+"""Split-KV flash decode ("flash decoding") with optional INT8 KV cache.
+
+The reference's streaming kernels are exactly this decode shape: a small
+fixed Q block with K/V streamed over the sequence in tiles, accumulated with
+the unnormalized (m, l, y) streaming merge
+(Streaming_FlashAttention_Forward_Kernel/flashattn_streaming_16x16.cu:15-24,
+239-262, and the 2-warp function-split endpoint
+flashattn_streaming_16x32_2warp_softmax_v12iA.cu:61-274).
+
+TPU design: one new token per sequence, GQA query group of G rows per KV
+head (padded to the 8-sublane minimum). The KV sequence is cut into
+`n_splits` independent splits — a parallel grid dimension, NOT a serial
+carry — each emitting an unnormalized (m, l, y) partial; partials combine
+with the associative merge (ops.softmax.merge algebra) in one jnp reduction.
+The same merge later combines partials across *chips* (parallel/ring
+attention), which is why decode and distribution share one discipline.
+
+INT8 KV: cache stored int8 with per-token scales; the in-kernel dequant sits
+at the K/V load stage (the reference's cp.async slot). QK^T applies the K
+scale per score column AFTER the matmul; the V scale folds into the exp
+weights — both keep the MXU matmul unscaled.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattention_kernel_project_tpu.ops.gemm import _precision
+from flashattention_kernel_project_tpu.ops.softmax import NEG_INF
+from flashattention_kernel_project_tpu.utils.platform import default_interpret
+
+
+def _decode_kernel(
+    len_ref,  # SMEM [B, 1] int32 (whole array; scalars live in SMEM)
+    q_ref,  # [1, 1, GP, D]
+    k_ref,  # [1, 1, block_s, D]
+    v_ref,  # [1, 1, block_s, D]
+    m_ref,  # [1, 1, 1, GP, 1]
+    l_ref,
+    y_ref,  # [1, 1, 1, GP, D]
+    *,
+    block_s: int,
+    sm_scale: float,
+):
+    split = pl.program_id(2)
+    length = len_ref[pl.program_id(0), 0]
+    gp = q_ref.shape[2]
+
+    m_ref[0, 0, 0] = jnp.full_like(m_ref[0, 0, 0], NEG_INF)
+    l_ref[0, 0, 0] = jnp.zeros_like(l_ref[0, 0, 0])
+    y_ref[0, 0, 0] = jnp.zeros_like(y_ref[0, 0, 0])
+
+    @pl.when(split * block_s < length)
+    def _compute():
+        q = q_ref[0, 0]  # [GP, D]
+        k = k_ref[0, 0].astype(q.dtype)  # [block_s, D]
+        v = v_ref[0, 0].astype(q.dtype)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(q.dtype),
+        ) * sm_scale  # [GP, block_s]
+
+        col = split * block_s + jax.lax.broadcasted_iota(jnp.int32, (gp, block_s), 1)
+        mask = col < length
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)  # [GP, 1]
+        e = jnp.where(mask, jnp.exp(s - m), 0.0)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        y = jax.lax.dot_general(
+            e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(v.dtype),
+        )
+        m_ref[0, 0, 0] = m
+        l_ref[0, 0, 0] = l
+        y_ref[0, 0, 0] = y
+
+
+def _decode_kernel_int8(
+    len_ref,  # SMEM [B, 1] int32 (whole array)
+    q_ref,
+    k_ref,  # int8 [1, 1, block_s, D]
+    ks_ref,  # [1, 1, block_s, 1] f32 per-token scale
+    v_ref,
+    vs_ref,
+    m_ref,
+    l_ref,
+    y_ref,
+    *,
+    block_s: int,
+    sm_scale: float,
+):
+    split = pl.program_id(2)
+    length = len_ref[pl.program_id(0), 0]
+    gp = q_ref.shape[2]
+
+    m_ref[0, 0, 0] = jnp.full_like(m_ref[0, 0, 0], NEG_INF)
+    l_ref[0, 0, 0] = jnp.zeros_like(l_ref[0, 0, 0])
+    y_ref[0, 0, 0] = jnp.zeros_like(y_ref[0, 0, 0])
+
+    @pl.when(split * block_s < length)
+    def _compute():
+        q = q_ref[0, 0]
+        # dequant at the load stage: int8 -> bf16 cast only; scales applied
+        # outside the MXU matmuls.
+        k = k_ref[0, 0].astype(q.dtype)
+        k_scale = ks_ref[0, 0][:, 0]  # [block_s]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s * (sm_scale * k_scale)[None, :]
+
+        col = split * block_s + jax.lax.broadcasted_iota(jnp.int32, (gp, block_s), 1)
+        mask = col < length
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.where(mask, jnp.exp(s - m), 0.0)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        # fold the per-token V scale into the exp weights (VPU, [GP, block_s])
+        ew = e * vs_ref[0, 0][:, 0][None, :]
+        v = v_ref[0, 0].astype(q.dtype)
+        y = jax.lax.dot_general(
+            ew.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[0, 0, 0] = m
+        l_ref[0, 0, 0] = l
+        y_ref[0, 0, 0] = y
+
+
+def merge_partials(m, l, y):
+    """Combine per-split unnormalized partials along axis `-3`/`-2` of
+    (m, l) / y with the associative streaming algebra (one-shot form:
+    commutativity lets the fold collapse into max + two weighted sums)."""
+    # m, l: [..., n_splits, GP, 1]; y: [..., n_splits, GP, D]
+    m_g = jnp.max(m, axis=-3, keepdims=True)
+    alpha = jnp.exp(m - m_g)
+    l_g = jnp.sum(l * alpha, axis=-3)
+    y_g = jnp.sum(y * alpha, axis=-3)
+    safe_l = jnp.where(l_g == 0.0, 1.0, l_g)
+    return y_g / safe_l
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_splits", "sm_scale", "interpret")
+)
+def flash_decode(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    lengths: jax.Array,
+    *,
+    n_splits: int = 8,
+    sm_scale: float | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Single-token GQA decode against a (padded) KV cache.
+
+    Args:
+      q: [B, Hq, D] — one new token per sequence.
+      k_cache, v_cache: [B, Hkv, S_max, D].
+      lengths: [B] int32 — valid tokens per sequence (query position is
+        lengths-1; causal decode attends to keys [0, lengths)).
+      n_splits: KV splits (parallel partials merged associatively).
+
+    Returns [B, Hq, D] in q.dtype.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    b, hq, d = q.shape
+    _, hkv, s_max, _ = k_cache.shape
+    assert hq % hkv == 0
+    g = hq // hkv
+    gp = max(8, g)
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+
+    # [B, Hq, D] -> [B, Hkv, GP, D]
+    qg = q.reshape(b, hkv, g, d)
+    if gp != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+
+    pad_s = (-s_max) % n_splits
+    block_s = (s_max + pad_s) // n_splits
+    # keep each split's KV tile lane-aligned
+    extra = (-block_s) % 8
+    if extra:
+        pad_s += extra * n_splits
+        block_s += extra
+    if pad_s:
+        k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+        v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
+
+    lengths2d = lengths.reshape(b, 1).astype(jnp.int32)
+    kernel = functools.partial(_decode_kernel, block_s=block_s, sm_scale=sm_scale)
+    grid = (b, hkv, n_splits)
+    m, l, y = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda bb, h, s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, gp, d), lambda bb, h, s: (bb, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_s, d), lambda bb, h, s: (bb, h, s, 0)),
+            pl.BlockSpec((1, 1, block_s, d), lambda bb, h, s: (bb, h, s, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s: (bb, h, s, 0, 0)),
+            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s: (bb, h, s, 0, 0)),
+            pl.BlockSpec((1, 1, 1, gp, d), lambda bb, h, s: (bb, h, s, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, n_splits, gp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, n_splits, gp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, n_splits, gp, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lengths2d, qg.reshape(b, hkv, gp, d), k_cache, v_cache)
+
+    out = merge_partials(m, l, y)  # [B, Hkv, GP, D]
+    return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_splits", "sm_scale", "interpret")
+)
+def flash_decode_int8(
+    q: jax.Array,
+    k_q: jax.Array,
+    k_scale: jax.Array,
+    v_q: jax.Array,
+    v_scale: jax.Array,
+    lengths: jax.Array,
+    *,
+    n_splits: int = 8,
+    sm_scale: float | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """flash_decode against an INT8 KV cache (per-token scales, fused dequant).
+
+    k_q/v_q: [B, Hkv, S_max, D] int8; k_scale/v_scale: [B, Hkv, S_max, 1] f32.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    b, hq, d = q.shape
+    _, hkv, s_max, _ = k_q.shape
+    g = hq // hkv
+    gp = max(8, g)
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+
+    qg = q.reshape(b, hkv, g, d)
+    if gp != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+
+    pad_s = (-s_max) % n_splits
+    block_s = (s_max + pad_s) // n_splits
+    extra = (-block_s) % 32  # int8 sublane granule
+    if extra:
+        pad_s += extra * n_splits
+        block_s += extra
+    if pad_s:
+        pads = ((0, 0), (0, 0), (0, pad_s), (0, 0))
+        k_q, v_q = jnp.pad(k_q, pads), jnp.pad(v_q, pads)
+        k_scale, v_scale = jnp.pad(k_scale, pads), jnp.pad(v_scale, pads)
+
+    lengths2d = lengths.reshape(b, 1).astype(jnp.int32)
+    kernel = functools.partial(
+        _decode_kernel_int8, block_s=block_s, sm_scale=sm_scale
+    )
+    m, l, y = pl.pallas_call(
+        kernel,
+        grid=(b, hkv, n_splits),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda bb, h, s: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, gp, d), lambda bb, h, s: (bb, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_s, d), lambda bb, h, s: (bb, h, s, 0)),
+            pl.BlockSpec((1, 1, block_s, 1), lambda bb, h, s: (bb, h, s, 0)),
+            pl.BlockSpec((1, 1, block_s, d), lambda bb, h, s: (bb, h, s, 0)),
+            pl.BlockSpec((1, 1, block_s, 1), lambda bb, h, s: (bb, h, s, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s: (bb, h, s, 0, 0)),
+            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s: (bb, h, s, 0, 0)),
+            pl.BlockSpec((1, 1, 1, gp, d), lambda bb, h, s: (bb, h, s, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, n_splits, gp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, n_splits, gp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, n_splits, gp, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(lengths2d, qg.reshape(b, hkv, gp, d), k_q, k_scale, v_q, v_scale)
+
+    out = merge_partials(m, l, y)
+    return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)

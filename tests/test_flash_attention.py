@@ -54,6 +54,19 @@ def test_flash_forward_ragged_tail(rng):
     assert_rel_l2(got, exp, tol=1e-2)
 
 
+def test_flash_forward_block_q_gt_block_k(rng):
+    """Regression: with block_q > block_k, rows of a q-block that lie wholly
+    above a kv-block get fully-masked score rows; exp(NEG_INF - NEG_INF)=1
+    must not leak into l (the reference's 5.4-class bug)."""
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 256, 256, 64)
+    got = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True,
+        block_q=256, block_k=64,
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=True)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
 def test_flash_forward_q_offset(rng):
     """Chunked prefill: query block positioned mid-sequence."""
     q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 384, 64)

@@ -1,0 +1,49 @@
+"""Quantization numerics: <=1e-2 max-abs vs fp32 oracle at matching bit-width
+(BASELINE.md gate)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from flashattention_kernel_project_tpu import ops
+from flashattention_kernel_project_tpu.utils import oracles
+from flashattention_kernel_project_tpu.utils.testing import assert_max_abs, assert_rel_l2
+
+
+def test_int8_roundtrip(rng):
+    x = rng.standard_normal((64, 256), dtype=np.float32)
+    q, scale = ops.quantize_int8(jnp.asarray(x))
+    back = ops.dequantize_int8(q, scale)
+    # absmax/127 quantization step bound
+    step = np.abs(x).max(-1, keepdims=True) / 127.0
+    assert np.all(np.abs(np.asarray(back) - x) <= step + 1e-6)
+
+
+def test_fp8_roundtrip(rng):
+    x = rng.standard_normal((64, 128), dtype=np.float32)
+    q, scale = ops.quantize_fp8(jnp.asarray(x))
+    back = ops.dequantize_fp8(q, scale)
+    assert_rel_l2(back, x, tol=0.06)  # e4m3 has ~2 decimal digits
+
+
+def test_matmul_int8_weights(rng):
+    m, k, n = 128, 256, 256
+    x = rng.standard_normal((m, k), dtype=np.float32).astype(np.float32)
+    w = rng.standard_normal((k, n), dtype=np.float32)
+    w_q, w_scale = ops.quantize_int8(jnp.asarray(w), axis=0)  # per-column
+    got = ops.matmul_int8_weights(
+        jnp.asarray(x), w_q, w_scale, block_m=128, block_n=128, block_k=128
+    )
+    # oracle at the same bit-width: dequantized weights, fp32 accumulate
+    w_deq = np.asarray(ops.dequantize_int8(w_q, w_scale))
+    assert_rel_l2(got, oracles.gemm(x, w_deq), tol=1e-2)
+
+
+def test_quantize_kv_shapes(rng):
+    k = rng.standard_normal((2, 4, 64, 32), dtype=np.float32)
+    v = rng.standard_normal((2, 4, 64, 32), dtype=np.float32)
+    k_q, k_s, v_q, v_s = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
+    assert k_q.shape == k.shape and k_q.dtype == jnp.int8
+    assert k_s.shape == (2, 4, 64, 1)
+    back = ops.dequantize_int8(k_q, k_s)
+    step = np.abs(k).max(-1, keepdims=True) / 127.0
+    assert np.all(np.abs(np.asarray(back) - k) <= step + 1e-6)
