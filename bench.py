@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: fused FlashAttention forward TFLOP/s on one TPU chip.
+
+Config mirrors BASELINE.json's target: causal GQA attention, d=128,
+seq 4096, bf16 in / fp32 acc. `vs_baseline` is achieved / target where
+target = 70% of the chip's bf16 MXU roofline (BASELINE.md: ">=70% of
+roofline, d=128, seq 4K-32K") — vs_baseline >= 1.0 means the target is met.
+
+Timing: the axon tunnel makes `block_until_ready` unreliable and adds a
+fixed ~140 ms dispatch+fetch round trip, so we time n1 vs n2 chained kernel
+iterations inside one jit (lax.fori_loop, output fed back as the next
+query) and report the delta slope — pure kernel throughput, overhead-free.
+Prints exactly ONE JSON line to stdout.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from flashattention_kernel_project_tpu import ops
+    from flashattention_kernel_project_tpu.utils import platform
+
+    B, H, HKV, N, D = 1, 16, 4, 4096, 128
+    CAUSAL = True
+    rng = np.random.default_rng(42)
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), dtype=jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, HKV, N, D)), dtype=jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, HKV, N, D)), dtype=jnp.bfloat16)
+
+    fa = functools.partial(ops.flash_attention, causal=CAUSAL)
+
+    def make(n):
+        @jax.jit
+        def f(q, k, v):
+            def body(_, q):
+                return fa(q, k, v)
+
+            return jax.lax.fori_loop(0, n, body, q)
+
+        return f
+
+    on_tpu = platform.has_tpu()
+    n_pair = (20, 120) if on_tpu else (1, 2)
+    times = {}
+    for n in n_pair:
+        h = make(n)
+        np.asarray(h(q, k, v))  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(h(q, k, v))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+
+    n1, n2 = n_pair
+    per_iter = (times[n2] - times[n1]) / (n2 - n1)
+    # causal useful FLOPs: 2 matmuls, half the score matrix
+    flops = 4 * B * H * N * N * D * (0.5 if CAUSAL else 1.0)
+    tflops = flops / per_iter / 1e12
+    target = 0.70 * platform.tpu_peak_flops("bf16") / 1e12
+    print(
+        json.dumps(
+            {
+                "metric": "flashattention_fwd_causal_gqa_d128_seq4k_tflops",
+                "value": round(tflops, 2),
+                "unit": "TFLOP/s",
+                "vs_baseline": round(tflops / target, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

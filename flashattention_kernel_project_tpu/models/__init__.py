@@ -1,0 +1,18 @@
+from flashattention_kernel_project_tpu.models.transformer import (  # noqa: F401
+    TransformerConfig,
+    init_params,
+    param_shardings,
+    forward,
+    loss_fn,
+    sgd_train_step,
+    rms_norm,
+    rope_tables,
+    apply_rope,
+)
+from flashattention_kernel_project_tpu.models.engine import (  # noqa: F401
+    KVCache,
+    init_cache,
+    prefill,
+    decode_step,
+    generate,
+)

@@ -1,0 +1,256 @@
+"""Inference engine: KV-cache management, prefill, decode, generation.
+
+This is the serving layer the BASELINE.json north star asks for around the
+kernels: slot-based batch of sequences, bf16 or INT8 KV cache (per-token
+scales), prefill through the fused flash-attention kernel, decode through
+the split-KV kernel, greedy/temperature sampling. The decode shapes are
+exactly the reference's streaming-kernel problem (SURVEY.md section 2.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from flashattention_kernel_project_tpu.models import transformer as tfm
+from flashattention_kernel_project_tpu.ops.flash_attention import flash_attention
+from flashattention_kernel_project_tpu.ops.flash_decode import (
+    flash_decode,
+    flash_decode_int8,
+)
+from flashattention_kernel_project_tpu.ops.quant import quantize_int8
+
+
+class KVCache(NamedTuple):
+    """Per-layer stacked KV cache.
+
+    k, v: [L, B, Hkv, S_max, D] (cfg dtype, or int8 when quantized)
+    k_scale, v_scale: [L, B, Hkv, S_max, 1] f32 (all-ones when not quantized)
+    lengths: [B] int32 — valid tokens per slot
+    """
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array | None
+    v_scale: jax.Array | None
+    lengths: jax.Array
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
+
+
+def init_cache(
+    cfg: tfm.TransformerConfig,
+    batch: int,
+    max_len: int,
+    *,
+    quantized: bool = False,
+) -> KVCache:
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, cfg.d_head)
+    if quantized:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            lengths=jnp.zeros((batch,), jnp.int32),
+        )
+    return KVCache(
+        k=jnp.zeros(shape, cfg.dtype),
+        v=jnp.zeros(shape, cfg.dtype),
+        k_scale=None,
+        v_scale=None,
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _write_tokens(cache_layer, new, lengths):
+    """Insert new[B, Hkv, T, D] at per-slot positions `lengths` into
+    cache_layer[B, Hkv, S, D]."""
+
+    def one(slot_cache, slot_new, pos):
+        return jax.lax.dynamic_update_slice(slot_cache, slot_new, (0, pos, 0))
+
+    return jax.vmap(one)(cache_layer, new, lengths)
+
+
+def _quantize_and_write(cache: KVCache, layer_idx, k_new, v_new, lengths):
+    """Write new KV (quantizing if the cache is int8). Returns updated k/v
+    (+scales) arrays for one layer stacked back into the cache pytree."""
+    if cache.quantized:
+        k_q, k_s = quantize_int8(k_new, axis=-1)
+        v_q, v_s = quantize_int8(v_new, axis=-1)
+        return (
+            cache.k.at[layer_idx].set(_write_tokens(cache.k[layer_idx], k_q, lengths)),
+            cache.v.at[layer_idx].set(_write_tokens(cache.v[layer_idx], v_q, lengths)),
+            cache.k_scale.at[layer_idx].set(
+                _write_tokens(cache.k_scale[layer_idx], k_s, lengths)
+            ),
+            cache.v_scale.at[layer_idx].set(
+                _write_tokens(cache.v_scale[layer_idx], v_s, lengths)
+            ),
+        )
+    return (
+        cache.k.at[layer_idx].set(
+            _write_tokens(cache.k[layer_idx], k_new.astype(cache.k.dtype), lengths)
+        ),
+        cache.v.at[layer_idx].set(
+            _write_tokens(cache.v[layer_idx], v_new.astype(cache.v.dtype), lengths)
+        ),
+        cache.k_scale,
+        cache.v_scale,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+def prefill(
+    cfg: tfm.TransformerConfig,
+    params: dict,
+    tokens: jax.Array,
+    cache: KVCache,
+    *,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, KVCache]:
+    """Run the prompt through the model, filling the cache at each slot's
+    current length. tokens [B, T]. Returns (last-position logits, cache).
+
+    Assumes the prefilled slots are empty (lengths[b] == 0): the fused
+    attention here only attends within the prompt. (Chunked prefill against
+    existing cache content is a Scheduler-level flow, not yet wired.)"""
+    b, t = tokens.shape
+    x = params["embed"][tokens]
+    positions = cache.lengths[:, None] + jnp.arange(t)[None, :]
+    sin, cos = tfm.rope_tables(cfg, positions)
+
+    k_all, v_all, ks_all, vs_all = cache.k, cache.v, cache.k_scale, cache.v_scale
+    for i in range(cfg.n_layers):
+        layer = jax.tree.map(lambda p: p[i], params["layers"])
+        h = tfm.rms_norm(x, layer["rms_attn"])
+        q = (h @ layer["wq"]).reshape(b, t, cfg.n_heads, cfg.d_head)
+        k = (h @ layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.d_head)
+        v = (h @ layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.d_head)
+        q = tfm.apply_rope(q, sin, cos)
+        k = tfm.apply_rope(k, sin, cos)
+
+        # assumes equal lengths at prefill time (slots prefill together);
+        # ragged prompts enter via per-slot insert in the Scheduler.
+        o = flash_attention(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+            causal=True,
+            block_q=min(cfg.block_q, t),
+            block_k=min(cfg.block_k, t),
+            interpret=interpret,
+        )
+        x = x + o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"]
+        x = tfm._mlp_block(layer, x)
+
+        cache_view = KVCache(k_all, v_all, ks_all, vs_all, cache.lengths)
+        k_all, v_all, ks_all, vs_all = _quantize_and_write(
+            cache_view, i, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+            cache.lengths,
+        )
+
+    x = tfm.rms_norm(x, params["rms_final"])
+    logits = (x[:, -1] @ params["embed"].T).astype(jnp.float32)
+    new_cache = KVCache(k_all, v_all, ks_all, vs_all, cache.lengths + t)
+    return logits, new_cache
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("n_splits", "interpret")
+)
+def decode_step(
+    cfg: tfm.TransformerConfig,
+    params: dict,
+    tokens: jax.Array,
+    cache: KVCache,
+    *,
+    n_splits: int = 8,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, KVCache]:
+    """One decode step: tokens [B] -> (logits [B, vocab], updated cache)."""
+    b = tokens.shape[0]
+    x = params["embed"][tokens][:, None]  # [B, 1, D]
+    sin, cos = tfm.rope_tables(cfg, cache.lengths[:, None])
+
+    k_all, v_all, ks_all, vs_all = cache.k, cache.v, cache.k_scale, cache.v_scale
+    new_lengths = cache.lengths + 1
+    for i in range(cfg.n_layers):
+        layer = jax.tree.map(lambda p: p[i], params["layers"])
+        h = tfm.rms_norm(x, layer["rms_attn"])
+        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, cfg.d_head)
+        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.d_head)
+        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.d_head)
+        q = tfm.apply_rope(q, sin, cos)
+        k = tfm.apply_rope(k, sin, cos)
+
+        cache_view = KVCache(k_all, v_all, ks_all, vs_all, cache.lengths)
+        k_all, v_all, ks_all, vs_all = _quantize_and_write(
+            cache_view, i, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+            cache.lengths,
+        )
+
+        q_dec = q.reshape(b, cfg.n_heads, cfg.d_head)
+        if cache.quantized:
+            o = flash_decode_int8(
+                q_dec.astype(cfg.dtype),
+                k_all[i], ks_all[i], v_all[i], vs_all[i],
+                new_lengths, n_splits=n_splits, interpret=interpret,
+            )
+        else:
+            o = flash_decode(
+                q_dec.astype(cfg.dtype), k_all[i], v_all[i],
+                new_lengths, n_splits=n_splits, interpret=interpret,
+            )
+        x = x + (o.reshape(b, 1, cfg.q_dim) @ layer["wo"])
+        x = tfm._mlp_block(layer, x)
+
+    x = tfm.rms_norm(x, params["rms_final"])
+    logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
+    return logits, KVCache(k_all, v_all, ks_all, vs_all, new_lengths)
+
+
+def generate(
+    cfg: tfm.TransformerConfig,
+    params: dict,
+    prompt: jax.Array,
+    *,
+    max_new_tokens: int = 32,
+    max_len: int | None = None,
+    quantized_cache: bool = False,
+    n_splits: int = 8,
+    temperature: float = 0.0,
+    key: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Greedy (or temperature) generation. prompt [B, T] -> [B, T + new]."""
+    b, t = prompt.shape
+    max_len = max_len or (t + max_new_tokens)
+    cache = init_cache(cfg, b, max_len, quantized=quantized_cache)
+    logits, cache = prefill(cfg, params, prompt, cache, interpret=interpret)
+
+    tokens = [prompt]
+    cur = _sample(logits, temperature, key, 0)
+    for step in range(max_new_tokens):
+        tokens.append(cur[:, None])
+        if step == max_new_tokens - 1:
+            break
+        logits, cache = decode_step(
+            cfg, params, cur, cache, n_splits=n_splits, interpret=interpret
+        )
+        cur = _sample(logits, temperature, key, step + 1)
+    return jnp.concatenate(tokens, axis=1)
+
+
+def _sample(logits, temperature, key, step):
+    if temperature <= 0.0 or key is None:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    k = jax.random.fold_in(key, step)
+    return jax.random.categorical(k, logits / temperature, axis=-1).astype(jnp.int32)

@@ -1,0 +1,206 @@
+"""Flagship model: GQA decoder-only transformer built on the kernel ladder.
+
+The reference repo has no model layer (it is a kernel study); this is the
+BASELINE.json north star made concrete — a quantized attention-inference
+engine needs a model to serve. LLaMA-style: RMSNorm, RoPE, grouped-query
+attention through ops.flash_attention (train/prefill) and ops.flash_decode
+(serving), SwiGLU MLP, tied embeddings.
+
+Pure-functional design: params are a pytree of jnp arrays; `forward`,
+`loss_fn`, `train_step` are jittable/pjit-able; `param_shardings` gives the
+megatron-style tensor-parallel layout over a ("data", "model") mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from flashattention_kernel_project_tpu.ops.flash_attention import flash_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 32000
+    d_model: int = 1024
+    n_layers: int = 8
+    n_heads: int = 16
+    n_kv_heads: int = 4
+    d_head: int = 64
+    d_ff: int = 2816
+    rope_theta: float = 10000.0
+    dtype: Any = jnp.bfloat16
+    # attention kernel blocks (tuned for TPU v5e VMEM)
+    block_q: int = 512
+    block_k: int = 512
+
+    @property
+    def q_dim(self) -> int:
+        return self.n_heads * self.d_head
+
+    @property
+    def kv_dim(self) -> int:
+        return self.n_kv_heads * self.d_head
+
+
+def init_params(cfg: TransformerConfig, key: jax.Array) -> dict:
+    """Scaled-normal init; weights stored in cfg.dtype."""
+    keys = jax.random.split(key, cfg.n_layers + 2)
+
+    def dense(k, shape, scale=None):
+        scale = scale or (shape[0] ** -0.5)
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    layers = []
+    for i in range(cfg.n_layers):
+        lk = jax.random.split(keys[i], 7)
+        layers.append(
+            dict(
+                wq=dense(lk[0], (cfg.d_model, cfg.q_dim)),
+                wk=dense(lk[1], (cfg.d_model, cfg.kv_dim)),
+                wv=dense(lk[2], (cfg.d_model, cfg.kv_dim)),
+                wo=dense(lk[3], (cfg.q_dim, cfg.d_model)),
+                w_gate=dense(lk[4], (cfg.d_model, cfg.d_ff)),
+                w_up=dense(lk[5], (cfg.d_model, cfg.d_ff)),
+                w_down=dense(lk[6], (cfg.d_ff, cfg.d_model)),
+                rms_attn=jnp.ones((cfg.d_model,), jnp.float32),
+                rms_mlp=jnp.ones((cfg.d_model,), jnp.float32),
+            )
+        )
+    return dict(
+        embed=dense(keys[-2], (cfg.vocab_size, cfg.d_model), scale=0.02),
+        rms_final=jnp.ones((cfg.d_model,), jnp.float32),
+        layers=_stack_layers(layers),
+    )
+
+
+def _stack_layers(layers: list[dict]) -> dict:
+    """Stack per-layer dicts into leading-axis arrays (scan-friendly)."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def param_shardings(cfg: TransformerConfig, data_axis="data", model_axis="model"):
+    """Megatron TP layout: qkv/gate/up column-sharded, o/down row-sharded."""
+    layer = dict(
+        wq=P(None, None, model_axis),
+        wk=P(None, None, model_axis),
+        wv=P(None, None, model_axis),
+        wo=P(None, model_axis, None),
+        w_gate=P(None, None, model_axis),
+        w_up=P(None, None, model_axis),
+        w_down=P(None, model_axis, None),
+        rms_attn=P(None, None),
+        rms_mlp=P(None, None),
+    )
+    return dict(
+        embed=P(None, None),
+        rms_final=P(None),
+        layers=layer,
+    )
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float = 1e-6) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    return (x32 * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def rope_tables(cfg: TransformerConfig, positions: jax.Array):
+    """positions [..., N] -> (sin, cos) [..., N, d_head/2] fp32."""
+    half = cfg.d_head // 2
+    freqs = cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[..., None].astype(jnp.float32) * freqs
+    return jnp.sin(angles), jnp.cos(angles)
+
+
+def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
+    """x [..., N, H, d_head]; sin/cos broadcastable to [..., N, 1, d_head/2]."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    sin = sin[..., None, :]
+    cos = cos[..., None, :]
+    x32_1, x32_2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [x32_1 * cos - x32_2 * sin, x32_2 * cos + x32_1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _attention_block(cfg, layer, x, sin, cos, *, interpret=None):
+    b, n, _ = x.shape
+    h = rms_norm(x, layer["rms_attn"])
+    q = (h @ layer["wq"]).reshape(b, n, cfg.n_heads, cfg.d_head)
+    k = (h @ layer["wk"]).reshape(b, n, cfg.n_kv_heads, cfg.d_head)
+    v = (h @ layer["wv"]).reshape(b, n, cfg.n_kv_heads, cfg.d_head)
+    q = apply_rope(q, sin, cos)
+    k = apply_rope(k, sin, cos)
+    o = flash_attention(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=True,
+        block_q=min(cfg.block_q, n),
+        block_k=min(cfg.block_k, n),
+        interpret=interpret,
+    )
+    o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.q_dim)
+    return x + o @ layer["wo"]
+
+
+def _mlp_block(layer, x):
+    h = rms_norm(x, layer["rms_mlp"])
+    gated = jax.nn.silu(h @ layer["w_gate"]) * (h @ layer["w_up"])
+    return x + gated @ layer["w_down"]
+
+
+def forward(
+    cfg: TransformerConfig,
+    params: dict,
+    tokens: jax.Array,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """tokens [B, N] int32 -> logits [B, N, vocab] fp32 (causal LM)."""
+    b, n = tokens.shape
+    x = params["embed"][tokens]
+    positions = jnp.arange(n)[None, :]
+    sin, cos = rope_tables(cfg, positions)
+
+    def body(x, layer):
+        x = _attention_block(cfg, layer, x, sin, cos, interpret=interpret)
+        x = _mlp_block(layer, x)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = rms_norm(x, params["rms_final"])
+    return (x @ params["embed"].T).astype(jnp.float32)
+
+
+def loss_fn(cfg, params, tokens, *, interpret=None) -> jax.Array:
+    """Next-token cross-entropy (mean over all positions)."""
+    logits = forward(cfg, params, tokens, interpret=interpret)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def sgd_train_step(cfg, params, tokens, lr=1e-3, *, interpret=None):
+    """Minimal full training step (fwd + bwd + update) — the jittable unit
+    the multi-chip dryrun shards. Optimizer-agnostic callers can use
+    jax.grad(loss_fn) directly with optax."""
+    loss, grads = jax.value_and_grad(
+        lambda p: loss_fn(cfg, p, tokens, interpret=interpret)
+    )(params)
+    new_params = jax.tree.map(
+        lambda p, g: (p.astype(jnp.float32) - lr * g.astype(jnp.float32)).astype(
+            p.dtype
+        ),
+        params,
+        grads,
+    )
+    return new_params, loss

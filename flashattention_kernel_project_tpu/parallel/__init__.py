@@ -1,0 +1,13 @@
+from flashattention_kernel_project_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    head_sharded_attention,
+    head_sharded_decode,
+    shard_params,
+)
+from flashattention_kernel_project_tpu.parallel.train import (  # noqa: F401
+    make_train_step,
+)
+from flashattention_kernel_project_tpu.parallel.ring_attention import (  # noqa: F401
+    ring_attention,
+    merge_normalized,
+)

@@ -1,0 +1,94 @@
+"""Flagship transformer: forward/loss/grad, and the decode engine vs a
+full-forward reference (KV-cached generation must match teacher-forced
+logits)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattention_kernel_project_tpu import models
+from flashattention_kernel_project_tpu.utils.testing import assert_rel_l2
+
+CFG = models.TransformerConfig(
+    vocab_size=128,
+    d_model=64,
+    n_layers=2,
+    n_heads=4,
+    n_kv_heads=2,
+    d_head=16,
+    d_ff=128,
+    dtype=jnp.float32,
+    block_q=32,
+    block_k=32,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return models.init_params(CFG, jax.random.PRNGKey(0))
+
+
+def test_forward_shapes(params):
+    tokens = jnp.zeros((2, 16), jnp.int32)
+    logits = models.forward(CFG, params, tokens)
+    assert logits.shape == (2, 16, CFG.vocab_size)
+    assert logits.dtype == jnp.float32
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_loss_and_grad(params):
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, CFG.vocab_size)
+    loss, grads = jax.value_and_grad(lambda p: models.loss_fn(CFG, p, tokens))(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # loss should be near log(vocab) at init
+    assert abs(float(loss) - np.log(CFG.vocab_size)) < 1.0
+
+
+def test_train_step_reduces_loss(params):
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (4, 32), 0, CFG.vocab_size)
+    p = params
+    loss0 = float(models.loss_fn(CFG, p, tokens))
+    for _ in range(5):
+        p, loss = models.sgd_train_step(CFG, p, tokens, lr=1e-1)
+    assert float(loss) < loss0
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_decode_matches_teacher_forcing(params, quantized):
+    """Greedy generation via prefill+decode_step must produce the same tokens
+    as repeatedly running the full forward (the reference-oracle pattern,
+    applied at the model level)."""
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0, CFG.vocab_size)
+    n_new = 6
+
+    out = models.generate(
+        CFG, params, prompt, max_new_tokens=n_new, quantized_cache=quantized,
+        n_splits=2,
+    )
+    assert out.shape == (2, 8 + n_new)
+
+    # full-forward reference decode (no cache)
+    ref = prompt
+    for _ in range(n_new):
+        logits = models.forward(CFG, params, ref)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        ref = jnp.concatenate([ref, nxt[:, None]], axis=1)
+
+    if quantized:
+        # int8 cache may legitimately flip a late token once logits are
+        # near-tied; require the first few decoded tokens to match.
+        np.testing.assert_array_equal(np.asarray(out)[:, :11], np.asarray(ref)[:, :11])
+    else:
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_prefill_logits_match_forward(params):
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (2, 12), 0, CFG.vocab_size)
+    cache = models.init_cache(CFG, 2, 32)
+    logits, cache2 = models.prefill(CFG, params, tokens, cache)
+    full = models.forward(CFG, params, tokens)
+    assert_rel_l2(logits, np.asarray(full)[:, -1], tol=1e-3)
+    assert np.all(np.asarray(cache2.lengths) == 12)

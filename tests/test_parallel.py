@@ -1,0 +1,112 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh.
+
+The reference has no distributed layer (SURVEY.md section 2.9); these tests
+pin the designed-fresh one: head-sharded (TP) attention/decode and ring
+(context-parallel) attention, all vs the same CPU oracles as the kernels."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashattention_kernel_project_tpu import ops, parallel
+from flashattention_kernel_project_tpu.utils import oracles
+from flashattention_kernel_project_tpu.utils.testing import assert_rel_l2
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return parallel.make_mesh({"model": 8})
+
+
+@pytest.fixture(scope="module")
+def mesh_2x4():
+    return parallel.make_mesh({"data": 2, "model": 4})
+
+
+def test_head_sharded_attention(rng, mesh8):
+    b, hq, hkv, n, d = 2, 16, 8, 128, 32
+    q = rng.standard_normal((b, hq, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, n, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, n, d), dtype=np.float32)
+    fn = parallel.head_sharded_attention(mesh8, causal=True, block_q=64, block_k=64)
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    exp = oracles.gqa_attention(q, k, v, causal=True)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
+def test_head_sharded_attention_2d_mesh(rng, mesh_2x4):
+    b, hq, hkv, n, d = 4, 8, 4, 64, 32
+    q = rng.standard_normal((b, hq, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, n, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, n, d), dtype=np.float32)
+    fn = parallel.head_sharded_attention(mesh_2x4, causal=True, block_q=32, block_k=32)
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    exp = oracles.gqa_attention(q, k, v, causal=True)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
+def test_head_sharded_decode(rng, mesh8):
+    b, hq, hkv, s, d = 2, 16, 8, 96, 32
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    lengths = np.array([96, 41], dtype=np.int32)
+    fn = parallel.head_sharded_decode(mesh8, n_splits=2)
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths))
+    exp = np.concatenate(
+        [
+            oracles.gqa_attention(
+                q[i : i + 1, :, None, :], k[i : i + 1, :, : lengths[i]],
+                v[i : i + 1, :, : lengths[i]],
+            )[:, :, 0]
+            for i in range(b)
+        ],
+        axis=0,
+    )
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention(rng, causal):
+    mesh = parallel.make_mesh({"sp": 8})
+    b, h, n, d = 1, 4, 256, 32  # 32 tokens per shard
+    q = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    fn = parallel.ring_attention(
+        mesh, causal=causal, data_axis=None, block_q=32, block_k=32
+    )
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    exp = oracles.gqa_attention(q, k, v, causal=causal)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
+def test_ring_attention_matches_single_device_kernel(rng):
+    """Ring over 4 shards == the fused kernel on one device."""
+    mesh = parallel.make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    b, h, n, d = 2, 2, 128, 32
+    q = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    ring = parallel.ring_attention(
+        mesh, causal=True, data_axis=None, block_q=32, block_k=32
+    )(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    single = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True,
+        block_q=32, block_k=32,
+    )
+    assert_rel_l2(ring, np.asarray(single), tol=1e-3)
+
+
+def test_merge_normalized_identity():
+    """Merging with an empty partial is the identity."""
+    o = jnp.ones((2, 3, 4, 8))
+    lse = jnp.zeros((2, 3, 4))
+    from flashattention_kernel_project_tpu.ops.softmax import NEG_INF
+
+    o_e = jnp.zeros_like(o)
+    lse_e = jnp.full_like(lse, NEG_INF)
+    o2, lse2 = parallel.merge_normalized(o, lse, o_e, lse_e)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse2), np.asarray(lse), rtol=1e-6)
