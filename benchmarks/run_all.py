@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark suite: the whole kernel ladder vs the chip roofline.
+
+The TPU-native analog of running every reference binary in sequence — each
+rung reports TFLOP/s (and GB/s where bandwidth-bound) plus its roofline
+fraction, using overhead-free chained timing (see utils.benchmarking).
+
+Usage:  python benchmarks/run_all.py [--quick] [--only SUBSTR]
+Writes benchmarks/results.json and prints a table. Each rung costs two
+remote compiles (~1-3 min each on the axon tunnel) — budget ~20 min for the
+full suite.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_benches(quick: bool):
+    import jax.numpy as jnp
+    from flashattention_kernel_project_tpu import ops
+    from flashattention_kernel_project_tpu.utils.benchmarking import benchmark_chained
+
+    rng = np.random.default_rng(42)
+    n_pair = (4, 16) if quick else (20, 120)
+    benches = []
+
+    def reg(name, fn, args, flops=None, bytes_accessed=None, chain=None,
+            dtype="bf16", pair=None):
+        benches.append(
+            dict(name=name, fn=fn, args=args, flops=flops,
+                 bytes_accessed=bytes_accessed, chain=chain, dtype=dtype,
+                 n_pair=pair or n_pair)
+        )
+
+    # --- GEMM ladder (reference section 2.1) -------------------------------
+    m = 4096
+    a16 = jnp.asarray(rng.standard_normal((m, m)), dtype=jnp.bfloat16)
+    b16 = jnp.asarray(rng.standard_normal((m, m)), dtype=jnp.bfloat16)
+    reg("gemm_xla_bf16_4096", ops.matmul_xla, (a16, b16),
+        flops=2 * m**3,
+        chain=lambda out, args: (out.astype(jnp.bfloat16), args[1]))
+    reg("gemm_pallas_bf16_4096",
+        functools.partial(ops.matmul, out_dtype=jnp.bfloat16),
+        (a16, b16), flops=2 * m**3)
+
+    m32 = 2048
+    a32 = jnp.asarray(rng.standard_normal((m32, m32)), dtype=jnp.float32)
+    b32 = jnp.asarray(rng.standard_normal((m32, m32)), dtype=jnp.float32)
+    reg("gemm_pallas_fp32_2048", ops.matmul, (a32, b32), flops=2 * m32**3,
+        dtype="fp32")
+
+    bb, mb = 8, 1024
+    ab = jnp.asarray(rng.standard_normal((bb, mb, mb)), dtype=jnp.bfloat16)
+    bbm = jnp.asarray(rng.standard_normal((bb, mb, mb)), dtype=jnp.bfloat16)
+    reg("gemm_batched_bf16_8x1024",
+        functools.partial(ops.batched_matmul, out_dtype=jnp.bfloat16),
+        (ab, bbm), flops=2 * bb * mb**3)
+
+    bias = jnp.asarray(rng.standard_normal(m), dtype=jnp.float32)
+    resid = jnp.asarray(rng.standard_normal((m, m)), dtype=jnp.float32)
+    reg("gemm_fused_epilogue_bf16_4096",
+        functools.partial(ops.matmul_fused_epilogue, out_dtype=jnp.bfloat16),
+        (a16, b16, bias, resid), flops=2 * m**3)
+
+    w8, w8s = ops.quantize_int8(
+        jnp.asarray(rng.standard_normal((m, m)), jnp.float32), axis=0)
+    reg("gemm_int8_weights_4096",
+        functools.partial(ops.matmul_int8_weights, out_dtype=jnp.bfloat16),
+        (a16, w8, w8s), flops=2 * m**3)
+
+    # --- softmax (reference section 2.2) -----------------------------------
+    rows, cols = 8192, 4096
+    x = jnp.asarray(rng.standard_normal((rows, cols)), dtype=jnp.float32)
+    reg("softmax_8192x4096", ops.softmax, (x,),
+        bytes_accessed=2 * rows * cols * 4, flops=5 * rows * cols)
+
+    # --- fused attention (sections 2.3-2.5) --------------------------------
+    B, H, HKV, N, D = 1, 16, 4, 4096, 128
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), dtype=jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, HKV, N, D)), dtype=jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, HKV, N, D)), dtype=jnp.bfloat16)
+    reg("flashattn_fwd_causal_d128_seq4k",
+        functools.partial(ops.flash_attention, causal=True),
+        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5))
+    reg("flashattn_fwd_full_d128_seq4k",
+        functools.partial(ops.flash_attention, causal=False),
+        (q, k, v), flops=4 * B * H * N * N * D)
+
+    # --- decode (streaming section 2.6 analog; bandwidth-bound) ------------
+    DB, DS = 8, 8192
+    qd = jnp.asarray(rng.standard_normal((DB, H, D)), dtype=jnp.bfloat16)
+    kc = jnp.asarray(rng.standard_normal((DB, HKV, DS, D)), dtype=jnp.bfloat16)
+    vc = jnp.asarray(rng.standard_normal((DB, HKV, DS, D)), dtype=jnp.bfloat16)
+    lens = jnp.full((DB,), DS, jnp.int32)
+    kv_bytes = 2 * DB * HKV * DS * D * 2
+    reg("flash_decode_bf16_b8_s8192",
+        functools.partial(ops.flash_decode, n_splits=8),
+        (qd, kc, vc, lens), bytes_accessed=kv_bytes,
+        flops=4 * DB * H * DS * D)
+    kq, ks, vq, vs = ops.quantize_kv(kc, vc)
+    reg("flash_decode_int8_b8_s8192",
+        functools.partial(ops.flash_decode_int8, n_splits=8),
+        (qd, kq, ks, vq, vs, lens), bytes_accessed=kv_bytes // 2,
+        flops=4 * DB * H * DS * D)
+
+    return benches, benchmark_chained
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    benches, benchmark_chained = build_benches(args.quick)
+    results = []
+    for b in benches:
+        if args.only and args.only not in b["name"]:
+            continue
+        try:
+            r = benchmark_chained(
+                b["fn"], *b["args"], name=b["name"], chain=b["chain"],
+                n_pair=b["n_pair"], flops=b["flops"],
+                bytes_accessed=b["bytes_accessed"],
+            )
+            print(r.report(b["dtype"]), flush=True)
+            results.append(
+                dict(name=b["name"], ms=r.mean_ms, tflops=r.tflops,
+                     gbps=r.gbps, roofline=r.roofline_fraction(b["dtype"])))
+        except Exception as e:  # noqa: BLE001 — keep the suite running
+            print(f"{b['name']}: FAILED {type(e).__name__}: {e}", flush=True)
+            results.append(dict(name=b["name"], error=str(e)))
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Continuous-batching serving scheduler.
+
+The BASELINE.json north star calls for "continuous batching across hosts"
+around the decode kernels. This is the single-host slot scheduler: a fixed
+decode batch of B slots, new requests prefilled (bucketed prompt lengths to
+bound recompiles) and inserted into free slots while other slots keep
+decoding; finished slots are freed immediately. The decode step always runs
+the full batch — empty slots carry length 0, which the decode kernel masks
+to zero output (verified in tests) — so there is exactly ONE compiled decode
+program regardless of occupancy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flashattention_kernel_project_tpu.models import engine
+from flashattention_kernel_project_tpu.models import transformer as tfm
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: np.ndarray  # [T] int32
+    max_new_tokens: int
+    generated: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+def _bucket(n: int, granule: int = 64) -> int:
+    return max(granule, ((n + granule - 1) // granule) * granule)
+
+
+class Scheduler:
+    """Slot-based continuous batching over the KV-cache engine."""
+
+    def __init__(
+        self,
+        cfg: tfm.TransformerConfig,
+        params: dict,
+        *,
+        max_batch: int = 8,
+        max_len: int = 2048,
+        quantized_cache: bool = False,
+        eos_token: int | None = None,
+        n_splits: int = 8,
+        interpret: bool | None = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.eos_token = eos_token
+        self.n_splits = n_splits
+        self.interpret = interpret
+        self.cache = engine.init_cache(
+            cfg, max_batch, max_len, quantized=quantized_cache
+        )
+        self.slots: list[Request | None] = [None] * max_batch
+        self.cur_tokens = np.zeros(max_batch, np.int32)
+        self.pending: list[Request] = []
+        self.finished: list[Request] = []
+        self._next_uid = 0
+
+        # one compiled single-seq prefill per prompt bucket
+        self._prefill_1 = functools.partial(
+            engine.prefill, cfg, interpret=interpret
+        )
+        self._decode = functools.partial(
+            engine.decode_step, cfg, n_splits=n_splits, interpret=interpret
+        )
+
+    # ----------------------------------------------------------------- API
+    def submit(self, prompt: np.ndarray, max_new_tokens: int = 32) -> int:
+        uid = self._next_uid
+        self._next_uid += 1
+        self.pending.append(
+            Request(uid, np.asarray(prompt, np.int32), max_new_tokens)
+        )
+        return uid
+
+    def run(self) -> dict[int, list[int]]:
+        """Drain all requests; returns {uid: generated tokens}."""
+        while self.pending or any(s is not None for s in self.slots):
+            self._fill_slots()
+            self._decode_once()
+        return {r.uid: r.generated for r in self.finished}
+
+    # ------------------------------------------------------------ internals
+    def _free_slot(self) -> int | None:
+        for i, s in enumerate(self.slots):
+            if s is None:
+                return i
+        return None
+
+    def _fill_slots(self):
+        while self.pending:
+            slot = self._free_slot()
+            if slot is None:
+                return
+            req = self.pending.pop(0)
+            self._insert(slot, req)
+
+    def _insert(self, slot: int, req: Request):
+        """Prefill the prompt as a batch-1 sequence, splice its KV into the
+        batch cache at `slot`, record the first generated token."""
+        t = len(req.prompt)
+        tb = _bucket(t)
+        prompt = np.zeros((1, tb), np.int32)
+        prompt[0, :t] = req.prompt
+        cache1 = engine.init_cache(
+            self.cfg, 1, tb, quantized=self.cache.quantized
+        )
+        logits, cache1 = self._prefill_1(self.params, jnp.asarray(prompt), cache1)
+        # bucket padding attends causally within the prompt, so position
+        # t-1's logits are unaffected by the padded tail; but `prefill`
+        # returns last-position logits — recompute the true last position.
+        # Cheaper: read the cache only up to t and take logits at t-1 via a
+        # tiny gather — prefill gives logits for position tb-1, which saw
+        # padding. Run the exact-length path when t != tb.
+        if t != tb:
+            logits = self._exact_last_logits(req.prompt)
+        # splice KV [L,1,Hkv,tb,D] -> cache[:, slot, :, :tb]
+        def splice(big, small):
+            return jax.lax.dynamic_update_slice(
+                big, small.astype(big.dtype), (0, slot, 0, 0, 0)
+            )
+
+        new_k = splice(self.cache.k, cache1.k)
+        new_v = splice(self.cache.v, cache1.v)
+        ks, vs = self.cache.k_scale, self.cache.v_scale
+        if self.cache.quantized:
+            ks = splice(ks, cache1.k_scale)
+            vs = splice(vs, cache1.v_scale)
+        lengths = self.cache.lengths.at[slot].set(t)
+        self.cache = engine.KVCache(new_k, new_v, ks, vs, lengths)
+        self.slots[slot] = req
+        first = int(np.argmax(np.asarray(logits)[0]))
+        self.cur_tokens[slot] = first
+        req.generated.append(first)
+        self._maybe_finish(slot)
+
+    def _exact_last_logits(self, prompt: np.ndarray):
+        logits = tfm.forward(
+            self.cfg,
+            self.params,
+            jnp.asarray(prompt[None, :]),
+            interpret=self.interpret,
+        )
+        return logits[:, -1]
+
+    def _decode_once(self):
+        if not any(s is not None for s in self.slots):
+            return
+        logits, self.cache = self._decode(
+            self.params, jnp.asarray(self.cur_tokens), self.cache
+        )
+        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        for i, req in enumerate(self.slots):
+            if req is None:
+                continue
+            tok = int(nxt[i])
+            req.generated.append(tok)
+            self.cur_tokens[i] = tok
+            self._maybe_finish(i)
+
+    def _maybe_finish(self, slot: int):
+        req = self.slots[slot]
+        hit_eos = self.eos_token is not None and req.generated[-1] == self.eos_token
+        if len(req.generated) >= req.max_new_tokens or hit_eos:
+            req.done = True
+            self.finished.append(req)
+            self.slots[slot] = None
+            # free the slot: zero its length so decode masks it out
+            self.cache = self.cache._replace(
+                lengths=self.cache.lengths.at[slot].set(0)
+            )

@@ -7,6 +7,7 @@ from flashattention_kernel_project_tpu.utils.platform import (  # noqa: F401
 from flashattention_kernel_project_tpu.utils.benchmarking import (  # noqa: F401
     BenchResult,
     benchmark,
+    benchmark_chained,
 )
 from flashattention_kernel_project_tpu.utils import oracles  # noqa: F401
 from flashattention_kernel_project_tpu.utils.testing import (  # noqa: F401

@@ -61,6 +61,62 @@ class BenchResult:
         return " | ".join(parts)
 
 
+def benchmark_chained(
+    fn: Callable[..., Any],
+    *args: Any,
+    name: str = "kernel",
+    chain: Callable[..., tuple] | None = None,
+    n_pair: tuple[int, int] = (20, 120),
+    reps: int = 3,
+    flops: int | None = None,
+    bytes_accessed: int | None = None,
+) -> BenchResult:
+    """Overhead-free kernel timing for high-latency dispatch paths.
+
+    The axon TPU tunnel has a fixed ~140 ms dispatch+fetch round trip and an
+    unreliable `block_until_ready`, so per-call timing lies. Instead run n1
+    and n2 *chained* iterations inside one jit (lax.fori_loop; `chain` feeds
+    the output back as the next input, default: replace the first arg) and
+    report the slope (t2 - t1) / (n2 - n1) — pure kernel time.
+    """
+    import numpy as np
+
+    if chain is None:
+        chain = lambda out, a: (out,) + tuple(a[1:])  # noqa: E731
+
+    def make(n):
+        @jax.jit
+        def run(*a):
+            def body(_, a):
+                return tuple(chain(fn(*a), a))
+
+            return jax.lax.fori_loop(0, n, body, tuple(a))
+
+        return run
+
+    times = {}
+    for n in n_pair:
+        h = make(n)
+        np.asarray(jax.tree.leaves(h(*args))[0])  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(jax.tree.leaves(h(*args))[0])
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+
+    n1, n2 = n_pair
+    per_iter_ms = 1e3 * (times[n2] - times[n1]) / (n2 - n1)
+    return BenchResult(
+        name=name,
+        mean_ms=per_iter_ms,
+        min_ms=per_iter_ms,
+        iters=n2 - n1,
+        flops=flops,
+        bytes_accessed=bytes_accessed,
+    )
+
+
 def benchmark(
     fn: Callable[..., Any],
     *args: Any,
