@@ -13,6 +13,7 @@ from flashattention_kernel_project_tpu.models.engine import (  # noqa: F401
     KVCache,
     init_cache,
     prefill,
+    extend,
     decode_step,
     generate,
 )

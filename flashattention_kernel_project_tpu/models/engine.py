@@ -163,6 +163,73 @@ def prefill(
     return logits, new_cache
 
 
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+def extend(
+    cfg: tfm.TransformerConfig,
+    params: dict,
+    tokens: jax.Array,
+    cache: KVCache,
+    *,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, KVCache]:
+    """Chunked prefill: append T tokens per slot to a LIVE cache and attend
+    to the full prefix (per-slot lengths + offsets via the ragged kernel).
+    tokens [B, T]. Returns (last-position logits, cache).
+
+    Int8 caches are dequantized on the fly for the prefix attention (the
+    chunk path optimizes for flexibility; steady-state decode stays fused).
+    """
+    from flashattention_kernel_project_tpu.ops.flash_attention import (
+        flash_attention_ragged,
+    )
+    from flashattention_kernel_project_tpu.ops.quant import dequantize_int8
+
+    b, t = tokens.shape
+    x = params["embed"][tokens]
+    positions = cache.lengths[:, None] + jnp.arange(t)[None, :]
+    sin, cos = tfm.rope_tables(cfg, positions)
+
+    k_all, v_all, ks_all, vs_all = cache.k, cache.v, cache.k_scale, cache.v_scale
+    new_lengths = cache.lengths + t
+    for i in range(cfg.n_layers):
+        layer = jax.tree.map(lambda p: p[i], params["layers"])
+        h = tfm.rms_norm(x, layer["rms_attn"])
+        q = (h @ layer["wq"]).reshape(b, t, cfg.n_heads, cfg.d_head)
+        k = (h @ layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.d_head)
+        v = (h @ layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.d_head)
+        q = tfm.apply_rope(q, sin, cos)
+        k = tfm.apply_rope(k, sin, cos)
+
+        cache_view = KVCache(k_all, v_all, ks_all, vs_all, cache.lengths)
+        k_all, v_all, ks_all, vs_all = _quantize_and_write(
+            cache_view, i, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+            cache.lengths,
+        )
+        if cache.quantized:
+            k_full = dequantize_int8(k_all[i], ks_all[i], cfg.dtype)
+            v_full = dequantize_int8(v_all[i], vs_all[i], cfg.dtype)
+        else:
+            k_full, v_full = k_all[i], v_all[i]
+
+        o = flash_attention_ragged(
+            q.transpose(0, 2, 1, 3).astype(cfg.dtype),
+            k_full,
+            v_full,
+            new_lengths,
+            cache.lengths,
+            causal=True,
+            block_q=min(cfg.block_q, max(t, 8)),
+            block_k=min(cfg.block_k, k_full.shape[2]),
+            interpret=interpret,
+        )
+        x = x + o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"]
+        x = tfm._mlp_block(layer, x)
+
+    x = tfm.rms_norm(x, params["rms_final"])
+    logits = (x[:, -1] @ params["embed"].T).astype(jnp.float32)
+    return logits, KVCache(k_all, v_all, ks_all, vs_all, new_lengths)
+
+
 @functools.partial(
     jax.jit, static_argnums=(0,), static_argnames=("n_splits", "interpret")
 )

@@ -17,11 +17,15 @@ from flashattention_kernel_project_tpu.ops.softmax import (  # noqa: F401
 from flashattention_kernel_project_tpu.ops.flash_attention import (  # noqa: F401
     flash_attention,
     flash_attention_with_lse,
+    flash_attention_ragged,
 )
 from flashattention_kernel_project_tpu.ops.flash_decode import (  # noqa: F401
     flash_decode,
     flash_decode_int8,
     merge_partials,
+)
+from flashattention_kernel_project_tpu.ops.streaming import (  # noqa: F401
+    streaming_decode,
 )
 from flashattention_kernel_project_tpu.ops.quant import (  # noqa: F401
     quantize_int8,

@@ -57,7 +57,6 @@ def _fwd_kernel(
     acc_scr,
     *,
     n_kv: int,
-    sm_scale: float,
     causal: bool,
     q_offset: int,
     kv_len: int,
@@ -81,6 +80,9 @@ def _fwd_kernel(
 
     @pl.when(diag_ok)
     def _compute():
+        # sm_scale is pre-folded into q by the wrapper: one fewer VPU pass
+        # over the [block_q, block_k] score tile (the VPU passes over that
+        # tile are the kernel's measured bottleneck — docs/perf_journal.md).
         q = q_ref[0, 0]  # [block_q, d]
         k = k_ref[0, 0]  # [block_k, d]
         v = v_ref[0, 0]  # [block_k, d_v]
@@ -92,7 +94,6 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
         )
-        s *= sm_scale
 
         # Tail mask (padded keys) and causal mask, both as iota compares.
         need_tail = kv_len % block_k != 0
@@ -116,19 +117,26 @@ def _fwd_kernel(
         m_tile = jnp.max(s, axis=-1, keepdims=True)  # [block_q, 1]
         m_next = jnp.maximum(m_prev, m_tile)  # broadcast -> [block_q, LANES]
         scale_old = jnp.exp(m_prev - m_next)  # [block_q, LANES]
-        p = jnp.exp(s - m_next[:, :1])  # [block_q, block_k]
+        # exp computed at the PV matmul's input precision: for bf16 inputs
+        # this packs 2x on the VPU and skips the separate f32->bf16 convert
+        # pass before the MXU. max-subtraction keeps the argument in
+        # [-inf, 0], where bf16 exp has ~3 decimal digits — inside the 1e-2
+        # numerics gate (verified vs oracle in tests and on-chip).
+        p = jnp.exp((s - m_next[:, :1]).astype(v.dtype))  # [block_q, block_k]
         if mask is not None:
             # A row whose every column is masked in this KV block has
             # s == m_next == NEG_INF, so exp(s - m_next) would be 1, not 0
             # (the reference's 5.4-style corruption in a new disguise) —
             # zero masked entries explicitly.
-            p = jnp.where(mask, p, 0.0)
-        l_next = l_prev * scale_old + jnp.sum(p, axis=-1, keepdims=True)
+            p = jnp.where(mask, p, jnp.zeros_like(p))
+        l_next = l_prev * scale_old + jnp.sum(
+            p, axis=-1, keepdims=True, dtype=jnp.float32
+        )
 
         m_scr[:] = m_next
         l_scr[:] = l_next
         pv = jax.lax.dot_general(
-            p.astype(v.dtype),
+            p,
             v,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -166,6 +174,8 @@ def _fwd(
     group = hq // hkv
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
+    # fold the score scale into q (cost O(N*D), saves an O(N*S) VPU pass)
+    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
 
     block_q = min(block_q, max(n, 8))
     block_k = min(block_k, max(s, 128))
@@ -182,7 +192,6 @@ def _fwd(
     kernel = functools.partial(
         _fwd_kernel,
         n_kv=n_kv,
-        sm_scale=sm_scale,
         causal=causal,
         q_offset=q_offset,
         kv_len=s,
@@ -230,6 +239,189 @@ def _fwd(
         interpret=interpret,
     )(q, k, v)
     return out[:, :, :n], lse[:, :, :n, 0]
+
+
+# ---------------------------------------------------------------------------
+# Ragged variant: per-batch KV lengths and query offsets (chunked prefill
+# against a live cache; a capability the reference lacked — it assumed
+# multiple-of-tile sizes everywhere, e.g. flashattn_forward_wmma_v5_cp_async
+# .cu:114). Lengths/offsets ride in SMEM, masks become dynamic compares.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_ragged(
+    len_ref,  # SMEM [B, 1] int32: valid KV tokens per batch row
+    off_ref,  # SMEM [B, 1] int32: causal query-position offset per batch row
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    lse_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    n_kv: int,
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+):
+    b = pl.program_id(0)
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+    kv_len = len_ref[b, 0]
+    q_off = off_ref[b, 0]
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    live = kv_idx * block_k < kv_len
+    if causal:
+        live = jnp.logical_and(
+            live, kv_idx * block_k <= q_idx * block_q + q_off + (block_q - 1)
+        )
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(q.dtype),
+        ) * sm_scale
+
+        col = kv_idx * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        mask = col < kv_len
+        if causal:
+            row = (
+                q_idx * block_q
+                + q_off
+                + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            )
+            mask = jnp.logical_and(mask, col <= row)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        l_prev = l_scr[:]
+        m_tile = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_tile)
+        scale_old = jnp.exp(m_prev - m_next)
+        p = jnp.where(mask, jnp.exp(s - m_next[:, :1]), 0.0)
+        l_next = l_prev * scale_old + jnp.sum(p, axis=-1, keepdims=True)
+        m_scr[:] = m_next
+        l_scr[:] = l_next
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(v.dtype),
+        )
+        acc_scr[:] = acc_scr[:] * scale_old[:, :1] + pv
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log(safe_l)
+        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, lse)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention_ragged(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_lens: jax.Array,
+    q_offsets: jax.Array,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fused attention with per-batch KV lengths and causal query offsets.
+
+    q: [B, Hq, N, D]; k/v: [B, Hkv, S_max, D] (e.g. a padded KV cache);
+    kv_lens: [B] valid keys per row; q_offsets: [B] position of query 0
+    (query i attends key j iff j <= i + q_offsets[b], and j < kv_lens[b]).
+    Forward-only (serving path). Returns [B, Hq, N, Dv].
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    b, hq, n, d = q.shape
+    _, hkv, s, _ = k.shape
+    d_v = v.shape[-1]
+    group = hq // hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    block_q = min(block_q, max(n, 8))
+    block_k = min(block_k, max(s, 128))
+    pad_q = (-n) % block_q
+    pad_k = (-s) % block_k
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    np_, sp = q.shape[2], k.shape[2]
+    n_q, n_kv = np_ // block_q, sp // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel_ragged,
+        n_kv=n_kv,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+    )
+    out, _ = pl.pallas_call(
+        kernel,
+        grid=(b, hq, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((b, 1), lambda bb, h, i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, 1), lambda bb, h, i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, i, j: (bb, h, i, 0)),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda bb, h, i, j: (bb, h // group, j, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d_v), lambda bb, h, i, j: (bb, h // group, j, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d_v), lambda bb, h, i, j: (bb, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bb, h, i, j: (bb, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, np_, d_v), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, np_, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_v), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        kv_lens.reshape(b, 1).astype(jnp.int32),
+        q_offsets.reshape(b, 1).astype(jnp.int32),
+        q, k, v,
+    )
+    return out[:, :, :n]
 
 
 # ---------------------------------------------------------------------------

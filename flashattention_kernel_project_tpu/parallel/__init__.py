@@ -11,3 +11,6 @@ from flashattention_kernel_project_tpu.parallel.ring_attention import (  # noqa:
     ring_attention,
     merge_normalized,
 )
+from flashattention_kernel_project_tpu.parallel.ulysses import (  # noqa: F401
+    ulysses_attention,
+)

@@ -100,6 +100,44 @@ def test_flash_lse(rng):
     assert_rel_l2(lse, exp_lse, tol=1e-3)
 
 
+def test_flash_attention_ragged(rng):
+    """Per-batch kv lengths + offsets vs per-sequence oracle calls."""
+    b, hq, hkv, n, s, d = 3, 4, 2, 64, 160, 32
+    q = rng.standard_normal((b, hq, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    kv_lens = np.array([160, 100, 64], np.int32)
+    q_offsets = np.array([96, 36, 0], np.int32)  # queries end at kv_lens
+
+    got = ops.flash_attention_ragged(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(kv_lens), jnp.asarray(q_offsets),
+        causal=True, block_q=32, block_k=32,
+    )
+    for i in range(b):
+        exp = oracles.gqa_attention(
+            q[i : i + 1], k[i : i + 1, :, : kv_lens[i]],
+            v[i : i + 1, :, : kv_lens[i]],
+            causal=True, q_offset=int(q_offsets[i]),
+        )
+        assert_rel_l2(np.asarray(got)[i : i + 1], exp, tol=1e-2)
+
+
+def test_flash_attention_ragged_zero_len(rng):
+    """kv_len == 0 rows must return zeros, not NaN."""
+    q = rng.standard_normal((2, 2, 32, 32), dtype=np.float32)
+    k = rng.standard_normal((2, 2, 64, 32), dtype=np.float32)
+    v = rng.standard_normal((2, 2, 64, 32), dtype=np.float32)
+    got = ops.flash_attention_ragged(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray([64, 0], dtype=jnp.int32),
+        jnp.asarray([32, 0], dtype=jnp.int32),
+        causal=True, block_q=32, block_k=32,
+    )
+    assert np.isfinite(np.asarray(got)).all()
+    assert np.abs(np.asarray(got)[1]).max() == 0.0
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_flash_gradients(rng, causal):
     """Gradients vs autodiff through the naive attention expression."""

@@ -85,6 +85,27 @@ def test_decode_matches_teacher_forcing(params, quantized):
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_extend_chunked_prefill_matches_full(params):
+    """prefill(first chunk) + extend(second chunk) == forward(full prompt),
+    and subsequent decode from the extended cache stays correct."""
+    tokens = jax.random.randint(jax.random.PRNGKey(7), (2, 24), 0, CFG.vocab_size)
+    cache = models.init_cache(CFG, 2, 64)
+    _, cache = models.prefill(CFG, params, tokens[:, :16], cache)
+    logits, cache = models.extend(CFG, params, tokens[:, 16:], cache)
+
+    full = models.forward(CFG, params, tokens)
+    assert_rel_l2(logits, np.asarray(full)[:, -1], tol=1e-3)
+    assert np.all(np.asarray(cache.lengths) == 24)
+
+    # one decode step from the chunk-built cache
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits2, _ = models.decode_step(CFG, params, nxt, cache, n_splits=2)
+    full2 = models.forward(
+        CFG, params, jnp.concatenate([tokens, nxt[:, None]], axis=1)
+    )
+    assert_rel_l2(logits2, np.asarray(full2)[:, -1], tol=1e-3)
+
+
 def test_prefill_logits_match_forward(params):
     tokens = jax.random.randint(jax.random.PRNGKey(4), (2, 12), 0, CFG.vocab_size)
     cache = models.init_cache(CFG, 2, 32)

@@ -99,6 +99,21 @@ def test_ring_attention_matches_single_device_kernel(rng):
     assert_rel_l2(ring, np.asarray(single), tol=1e-3)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_attention(rng, causal):
+    mesh = parallel.make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    b, h, n, d = 1, 8, 128, 32  # 8 heads over 4 devices, 32 tokens/shard
+    q = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    fn = parallel.ulysses_attention(
+        mesh, causal=causal, data_axis=None, block_q=32, block_k=32
+    )
+    got = fn(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    exp = oracles.gqa_attention(q, k, v, causal=causal)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
 def test_merge_normalized_identity():
     """Merging with an empty partial is the identity."""
     o = jnp.ones((2, 3, 4, 8))
