@@ -16,17 +16,18 @@ Prints exactly ONE JSON line to stdout.
 import functools
 import json
 import sys
-import time
 
 import numpy as np
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from flashattention_kernel_project_tpu import ops
     from flashattention_kernel_project_tpu.utils import platform
+    from flashattention_kernel_project_tpu.utils.benchmarking import (
+        benchmark_chained,
+    )
 
     B, H, HKV, N, D = 1, 16, 4, 4096, 128
     CAUSAL = True
@@ -37,33 +38,26 @@ def main():
 
     fa = functools.partial(ops.flash_attention, causal=CAUSAL)
 
-    def make(n):
-        @jax.jit
-        def f(q, k, v):
-            def body(_, q):
-                return fa(q, k, v)
-
-            return jax.lax.fori_loop(0, n, body, q)
-
-        return f
-
-    on_tpu = platform.has_tpu()
-    n_pair = (20, 120) if on_tpu else (1, 2)
-    times = {}
-    for n in n_pair:
-        h = make(n)
-        np.asarray(h(q, k, v))  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            np.asarray(h(q, k, v))
-            best = min(best, time.perf_counter() - t0)
-        times[n] = best
-
-    n1, n2 = n_pair
-    per_iter = (times[n2] - times[n1]) / (n2 - n1)
     # causal useful FLOPs: 2 matmuls, half the score matrix
     flops = 4 * B * H * N * N * D * (0.5 if CAUSAL else 1.0)
+    on_tpu = platform.has_tpu()
+    if on_tpu:
+        # median of 3 rounds; the tunnel jitters and sporadically slow rounds
+        # bias any single measurement upward
+        per_iters = []
+        for _ in range(3):
+            r = benchmark_chained(
+                fa, q, k, v, name="fa", flops=flops, reps=4, min_delta_s=2.0
+            )
+            per_iters.append(r.mean_ms)
+        per_iters.sort()
+        per_iter = per_iters[1] * 1e-3
+    else:
+        r = benchmark_chained(
+            fa, q, k, v, name="fa", flops=flops,
+            n_pair=(1, 2), reps=1, min_delta_s=0.0,
+        )
+        per_iter = r.mean_ms * 1e-3
     tflops = flops / per_iter / 1e12
     target = 0.70 * platform.tpu_peak_flops("bf16") / 1e12
     print(

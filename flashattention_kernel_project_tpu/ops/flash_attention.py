@@ -42,7 +42,7 @@ from flashattention_kernel_project_tpu.ops.softmax import NEG_INF
 from flashattention_kernel_project_tpu.utils.platform import default_interpret
 
 DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_K = 1024  # with mask-skip, 1024 beats 512 by ~25% (perf journal)
 _LANES = 128  # VPU lane width; m/l scratch is lane-broadcast for alignment
 
 
@@ -62,6 +62,8 @@ def _fwd_kernel(
     kv_len: int,
     block_q: int,
     block_k: int,
+    num_sub: int,
+    pipeline_subs: bool,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -78,8 +80,15 @@ def _fwd_kernel(
     else:
         diag_ok = True
 
-    @pl.when(diag_ok)
-    def _compute():
+    sub = block_k // num_sub
+    need_tail = kv_len % block_k != 0
+    # Masked entries rely on exp(NEG_INF - m) flushing to exactly 0, which
+    # needs a finite running max m for every row. KV blocks run in ascending
+    # order and block 0 holds key 0, visible to every query row iff
+    # q_offset >= 0 — otherwise fall back to explicit post-exp zeroing.
+    zero_after_exp = causal and q_offset < 0
+
+    def _compute(masked: bool):
         # sm_scale is pre-folded into q by the wrapper: one fewer VPU pass
         # over the [block_q, block_k] score tile (the VPU passes over that
         # tile are the kernel's measured bottleneck — docs/perf_journal.md).
@@ -87,62 +96,129 @@ def _fwd_kernel(
         k = k_ref[0, 0]  # [block_k, d]
         v = v_ref[0, 0]  # [block_k, d_v]
 
-        s = jax.lax.dot_general(
-            q,
-            k,
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_precision(q.dtype),
-        )
+        # Issue ALL QK^T sub-dots before any VPU work: the MXU runs ahead of
+        # the softmax chain, and PV(i) overlaps softmax(i+1) — the TPU
+        # version of the reference's load(t)/compute(t-1) software pipeline
+        # (flashattn_forward_wmma_v5_cp_async.cu:221-251), but across the
+        # MXU/VPU boundary instead of the memory/compute one.
+        s_parts = [
+            jax.lax.dot_general(
+                q,
+                k[i * sub : (i + 1) * sub],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_precision(q.dtype),
+            )
+            for i in range(num_sub)
+        ]
 
         # Tail mask (padded keys) and causal mask, both as iota compares.
-        need_tail = kv_len % block_k != 0
-        mask = None
-        if causal or need_tail:
-            col = kv_idx * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            mask = col < kv_len
+        # Only the `masked` instantiation pays these VPU passes; interior
+        # causal blocks (fully below the diagonal) and non-tail blocks run
+        # the unmasked instantiation.
+        masks = [None] * num_sub
+        if masked:
+            row = None
             if causal:
                 row = (
                     q_idx * block_q
                     + q_offset
-                    + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                    + jax.lax.broadcasted_iota(jnp.int32, (block_q, sub), 0)
                 )
-                mask = jnp.logical_and(mask, col <= row)
-            s = jnp.where(mask, s, NEG_INF)
+            for i in range(num_sub):
+                col = kv_idx * block_k + i * sub + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, sub), 1
+                )
+                mask = col < kv_len if need_tail else None
+                if causal:
+                    cm = col <= row
+                    mask = cm if mask is None else jnp.logical_and(mask, cm)
+                s_parts[i] = jnp.where(mask, s_parts[i], NEG_INF)
+                if zero_after_exp:
+                    masks[i] = mask
 
-        m_prev = m_scr[:]  # [block_q, LANES] lane-broadcast
-        l_prev = l_scr[:]
-        m_tile = jnp.max(s, axis=-1, keepdims=True)  # [block_q, 1]
-        m_next = jnp.maximum(m_prev, m_tile)  # broadcast -> [block_q, LANES]
-        scale_old = jnp.exp(m_prev - m_next)  # [block_q, LANES]
         # exp computed at the PV matmul's input precision: for bf16 inputs
         # this packs 2x on the VPU and skips the separate f32->bf16 convert
         # pass before the MXU. max-subtraction keeps the argument in
         # [-inf, 0], where bf16 exp has ~3 decimal digits — inside the 1e-2
         # numerics gate (verified vs oracle in tests and on-chip).
-        p = jnp.exp((s - m_next[:, :1]).astype(v.dtype))  # [block_q, block_k]
-        if mask is not None:
-            # A row whose every column is masked in this KV block has
-            # s == m_next == NEG_INF, so exp(s - m_next) would be 1, not 0
-            # (the reference's 5.4-style corruption in a new disguise) —
-            # zero masked entries explicitly.
-            p = jnp.where(mask, p, jnp.zeros_like(p))
-        l_next = l_prev * scale_old + jnp.sum(
-            p, axis=-1, keepdims=True, dtype=jnp.float32
-        )
+        acc = acc_scr[:]
+        if pipeline_subs:
+            # Sequential online-softmax sub-steps: exp(p_i) only needs
+            # max(s_i), so the VPU starts as soon as s_0 lands while the MXU
+            # computes s_1..; PV(i) then overlaps softmax(i+1).
+            m_c = m_scr[:]  # [block_q, LANES] lane-broadcast
+            l_c = l_scr[:]
+            for i, s_i in enumerate(s_parts):
+                m_t = jnp.max(s_i, axis=-1, keepdims=True)  # [block_q, 1]
+                m_n = jnp.maximum(m_c, m_t)
+                sc = jnp.exp(m_c - m_n)
+                p = jnp.exp((s_i - m_n[:, :1]).astype(v.dtype))
+                if masks[i] is not None:
+                    p = jnp.where(masks[i], p, jnp.zeros_like(p))
+                l_c = l_c * sc + jnp.sum(
+                    p, axis=-1, keepdims=True, dtype=jnp.float32
+                )
+                pv = jax.lax.dot_general(
+                    p,
+                    v[i * sub : (i + 1) * sub],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_precision(v.dtype),
+                )
+                acc = acc * sc[:, :1] + pv
+                m_c = m_n
+            m_scr[:] = m_c
+            l_scr[:] = l_c
+        else:
+            m_prev = m_scr[:]  # [block_q, LANES] lane-broadcast
+            l_prev = l_scr[:]
+            m_tile = s_parts[0].max(axis=-1, keepdims=True)
+            for s_i in s_parts[1:]:
+                m_tile = jnp.maximum(m_tile, s_i.max(axis=-1, keepdims=True))
+            m_next = jnp.maximum(m_prev, m_tile)  # -> [block_q, LANES]
+            scale_old = jnp.exp(m_prev - m_next)
+            l_next = l_prev * scale_old
+            pv_sum = None
+            for i, s_i in enumerate(s_parts):
+                p = jnp.exp((s_i - m_next[:, :1]).astype(v.dtype))
+                if masks[i] is not None:
+                    p = jnp.where(masks[i], p, jnp.zeros_like(p))
+                l_next = l_next + jnp.sum(
+                    p, axis=-1, keepdims=True, dtype=jnp.float32
+                )
+                pv = jax.lax.dot_general(
+                    p,
+                    v[i * sub : (i + 1) * sub],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_precision(v.dtype),
+                )
+                pv_sum = pv if pv_sum is None else pv_sum + pv
+            m_scr[:] = m_next
+            l_scr[:] = l_next
+            acc = acc * scale_old[:, :1] + pv_sum
+        acc_scr[:] = acc
 
-        m_scr[:] = m_next
-        l_scr[:] = l_next
-        pv = jax.lax.dot_general(
-            p,
-            v,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=_precision(v.dtype),
+    # Statement-level predication (pl.when), NOT lax.cond: a value-level cond
+    # forces the [block_q, block_k] f32 score tile through branch yields,
+    # which Mosaic materializes — measured 22% slower than no branch at all.
+    if causal:
+        crosses_diag = (
+            kv_idx * block_k + (block_k - 1) > q_idx * block_q + q_offset
         )
-        acc_scr[:] = acc_scr[:] * scale_old[:, :1] + pv
+        is_tail = (kv_idx == n_kv - 1) if need_tail else False
+        needs_mask = jnp.logical_or(crosses_diag, jnp.asarray(is_tail))
+        pl.when(jnp.logical_and(diag_ok, needs_mask))(lambda: _compute(True))
+        pl.when(jnp.logical_and(diag_ok, jnp.logical_not(needs_mask)))(
+            lambda: _compute(False)
+        )
+    elif need_tail:
+        is_tail = kv_idx == n_kv - 1
+        pl.when(is_tail)(lambda: _compute(True))
+        pl.when(jnp.logical_not(is_tail))(lambda: _compute(False))
+    else:
+        _compute(False)
 
     @pl.when(kv_idx == n_kv - 1)
     def _finish():
@@ -164,6 +240,8 @@ def _fwd(
     block_q: int,
     block_k: int,
     interpret: bool | None,
+    num_sub: int = 1,
+    pipeline_subs: bool = True,
 ):
     if interpret is None:
         interpret = default_interpret()
@@ -188,6 +266,8 @@ def _fwd(
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
     np_, sp = q.shape[2], k.shape[2]
     n_q, n_kv = np_ // block_q, sp // block_k
+    if block_k % num_sub:
+        num_sub = 1
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -197,6 +277,8 @@ def _fwd(
         kv_len=s,
         block_q=block_q,
         block_k=block_k,
+        num_sub=num_sub,
+        pipeline_subs=pipeline_subs,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -425,6 +507,329 @@ def flash_attention_ragged(
 
 
 # ---------------------------------------------------------------------------
+# Pallas backward (FlashAttention-2 recompute), two kernels:
+#   dk/dv: KV-stationary — grid (b, hkv, kv_blocks, group*q_blocks), the
+#     GQA group-sum rides the innermost grid axis into a VMEM carry;
+#   dq:    Q-stationary — grid (b, hq, q_blocks, kv_blocks), like forward.
+# Same recompute math as the reference's online-softmax forward run in
+# reverse: p = exp(s - lse), ds = p * (dp - delta) (no (m, l) state needed
+# because the forward's logsumexp is saved).
+# ---------------------------------------------------------------------------
+
+_POS_BIG = float(1e30)  # lse pad for invalid rows: exp(s - POS_BIG) == 0
+
+
+def _bwd_dkdv_kernel(
+    q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+    dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *,
+    n_inner: int,
+    n_q: int,
+    causal: bool,
+    q_offset: int,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+):
+    kv_idx = pl.program_id(2)
+    t = pl.program_id(3)
+    q_idx = t % n_q
+
+    @pl.when(t == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    if causal:
+        # q block contributes iff its last row reaches this kv block
+        live = q_idx * block_q + (block_q - 1) + q_offset >= kv_idx * block_k
+        crosses = q_idx * block_q + q_offset < kv_idx * block_k + (block_k - 1)
+    else:
+        live = True
+        crosses = False
+
+    def _compute(masked: bool):
+        q = q_ref[0, 0]       # [block_q, d] (sm_scale pre-folded)
+        do = do_ref[0, 0]     # [block_q, d_v]
+        lse = lse_ref[0, 0]   # [block_q, 1] f32
+        delta = delta_ref[0, 0]  # [block_q, 1] f32
+        k = k_ref[0, 0]       # [block_k, d]
+        v = v_ref[0, 0]       # [block_k, d_v]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(q.dtype),
+        )
+        if masked:
+            col = kv_idx * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            row = q_idx * block_q + q_offset + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            s = jnp.where(col <= row, s, NEG_INF)
+        # p = exp(s - lse); padded q rows carry lse = +1e30 -> p = 0
+        p = jnp.exp((s - lse).astype(v.dtype))
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(v.dtype),
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(v.dtype),
+        )
+        ds = (p.astype(jnp.float32) * (dp - delta) * sm_scale).astype(q.dtype)
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(q.dtype),
+        )
+
+    if causal:
+        pl.when(jnp.logical_and(live, crosses))(lambda: _compute(True))
+        pl.when(jnp.logical_and(live, jnp.logical_not(crosses)))(
+            lambda: _compute(False)
+        )
+    else:
+        _compute(False)
+
+    @pl.when(t == n_inner - 1)
+    def _emit():
+        # q arrives sm_scale-pre-folded (q_scaled = scale*q) and this kernel
+        # runs with sm_scale=1: ds is w.r.t. the scaled scores, and
+        # ds^T @ q_scaled == scale * (ds^T @ q_raw) — exactly one sm_scale on
+        # dk, per the chain rule through s = scale * (q . k).
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+    dq_ref,
+    dq_scr,
+    *,
+    n_kv: int,
+    causal: bool,
+    q_offset: int,
+    kv_len: int,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    need_tail = kv_len % block_k != 0
+    if causal:
+        live = kv_idx * block_k <= q_idx * block_q + q_offset + (block_q - 1)
+        crosses = (
+            kv_idx * block_k + (block_k - 1) > q_idx * block_q + q_offset
+        )
+    else:
+        live = True
+        crosses = False
+
+    def _compute(masked: bool):
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(q.dtype),
+        )
+        if masked:
+            col = kv_idx * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
+            )
+            mask = col < kv_len if need_tail else None
+            if causal:
+                row = q_idx * block_q + q_offset + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0
+                )
+                cm = col <= row
+                mask = cm if mask is None else jnp.logical_and(mask, cm)
+            s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp((s - lse).astype(v.dtype))
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(v.dtype),
+        )
+        ds = (p.astype(jnp.float32) * (dp - delta) * sm_scale).astype(q.dtype)
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(q.dtype),
+        )
+
+    if causal or need_tail:
+        is_tail = (kv_idx == n_kv - 1) if need_tail else False
+        needs_mask = jnp.logical_or(
+            jnp.asarray(crosses), jnp.asarray(is_tail)
+        )
+        live_ = jnp.asarray(live)
+        pl.when(jnp.logical_and(live_, needs_mask))(lambda: _compute(True))
+        pl.when(jnp.logical_and(live_, jnp.logical_not(needs_mask)))(
+            lambda: _compute(False)
+        )
+    else:
+        _compute(False)
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _emit():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_pallas(
+    res, g, causal, sm_scale, q_offset, block_q, block_k, interpret
+):
+    """FlashAttention-2 backward as two Pallas kernels. Returns (dq, dk, dv).
+
+    Reference analog: the fused forward's recompute discipline
+    (flashattn_forward_fused_5_4_2.cu:150-204) run in reverse with the saved
+    logsumexp replacing the online (m, l) state.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    q, k, v, out, lse = res
+    b, hq, n, d = q.shape
+    _, hkv, s_len, _ = k.shape
+    d_v = v.shape[-1]
+    group = hq // hkv
+
+    block_q = min(block_q, max(n, 8))
+    block_k = min(block_k, max(s_len, 128))
+    pad_q = (-n) % block_q
+    pad_k = (-s_len) % block_k
+
+    gf = g
+    delta = jnp.sum(
+        out.astype(jnp.float32) * g.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [b, hq, n, 1]
+    lse4 = lse[..., None]  # [b, hq, n, 1]
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        gf = jnp.pad(gf, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        # padded rows get lse = +BIG so exp(s - lse) == 0 (no NaN/garbage)
+        lse4 = jnp.pad(
+            lse4, ((0, 0), (0, 0), (0, pad_q), (0, 0)),
+            constant_values=_POS_BIG,
+        )
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    # forward saved lse of the SCALED scores; fold sm_scale into q for the
+    # recompute so s matches, exactly as the forward wrapper does
+    q_scaled = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+
+    np_, sp = q.shape[2], k.shape[2]
+    n_q, n_kv = np_ // block_q, sp // block_k
+    n_inner = group * n_q
+
+    # ---- dk / dv ----------------------------------------------------------
+    def qmap(bb, h, j, t):
+        return (bb, h * group + t // n_q, t % n_q, 0)
+
+    dkdv_kernel = functools.partial(
+        _bwd_dkdv_kernel,
+        n_inner=n_inner,
+        n_q=n_q,
+        causal=causal,
+        q_offset=q_offset,
+        sm_scale=1.0,  # q is pre-scaled; ds carries sm_scale explicitly below
+        block_q=block_q,
+        block_k=block_k,
+    )
+    dk, dv = pl.pallas_call(
+        dkdv_kernel,
+        grid=(b, hkv, n_kv, n_inner),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), qmap),
+            pl.BlockSpec((1, 1, block_q, d_v), qmap),
+            pl.BlockSpec((1, 1, block_q, 1), qmap),
+            pl.BlockSpec((1, 1, block_q, 1), qmap),
+            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, j, t: (bb, h, j, 0)),
+            pl.BlockSpec(
+                (1, 1, block_k, d_v), lambda bb, h, j, t: (bb, h, j, 0)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, j, t: (bb, h, j, 0)),
+            pl.BlockSpec(
+                (1, 1, block_k, d_v), lambda bb, h, j, t: (bb, h, j, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, sp, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hkv, sp, d_v), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d_v), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_scaled, gf, lse4, delta, k, v)
+
+    # ---- dq ---------------------------------------------------------------
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel,
+        n_kv=n_kv,
+        causal=causal,
+        q_offset=q_offset,
+        kv_len=s_len,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, hq, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, i, j: (bb, h, i, 0)),
+            pl.BlockSpec(
+                (1, 1, block_q, d_v), lambda bb, h, i, j: (bb, h, i, 0)
+            ),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bb, h, i, j: (bb, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bb, h, i, j: (bb, h, i, 0)),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda bb, h, i, j: (bb, h // group, j, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d_v), lambda bb, h, i, j: (bb, h // group, j, 0)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bb, h, i, j: (bb, h, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, np_, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q_scaled, gf, lse4, delta, k, v)
+
+    return dq[:, :, :n], dk[:, :, :s_len], dv[:, :, :s_len]
+
+
+# ---------------------------------------------------------------------------
 # Blockwise backward (FlashAttention-2 recompute) in plain JAX
 # ---------------------------------------------------------------------------
 
@@ -482,24 +887,42 @@ def _bwd_reference(res, g, causal, sm_scale, q_offset, block_k):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
-def _flash_attention(q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret):
-    out, _ = _fwd(q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_attention(
+    q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
+):
+    out, _ = _fwd(
+        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
+    )
     return out
 
 
-def _flash_attention_fwd(q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret):
-    out, lse = _fwd(q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret)
+def _flash_attention_fwd(
+    q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
+):
+    out, lse = _fwd(
+        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
+    )
     return out, (q, k, v, out, lse)
 
 
-def _flash_attention_bwd(causal, sm_scale, q_offset, block_q, block_k, interpret, res, g):
+def _flash_attention_bwd(
+    causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub, res, g
+):
     if sm_scale is None:
         sm_scale = 1.0 / (res[0].shape[-1] ** 0.5)
-    return _bwd_reference(res, g, causal, sm_scale, q_offset, block_k)
+    return _bwd_pallas(
+        res, g, causal, sm_scale, q_offset, block_q, block_k, interpret
+    )
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+# KV sub-tiling (num_sub > 1) was built as the MXU/VPU-overlap lever, but
+# measured consistently SLOWER on TPU v5e (Mosaic doesn't interleave the
+# sub-chains; the extra per-sub rescale passes just add VPU work) — keep 1.
+DEFAULT_NUM_SUB = 1
 
 
 def flash_attention(
@@ -513,6 +936,7 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
+    num_sub: int = DEFAULT_NUM_SUB,
 ) -> jax.Array:
     """Fused multi-head / grouped-query FlashAttention forward.
 
@@ -523,18 +947,23 @@ def flash_attention(
       q_offset: static position offset of the query block within the KV
         sequence (for chunked prefill).
       sm_scale: score scale, default 1/sqrt(head_dim).
+      num_sub: KV sub-tiles per block; >1 interleaves the MXU QK/PV dots
+        with the VPU softmax chain (measured ~MXU/VPU overlap lever).
 
     Returns [batch, q_heads, q_len, head_dim_v]; differentiable.
     """
     return _flash_attention(
-        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret
+        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
     )
 
 
 def flash_attention_with_lse(
     q, k, v, *, causal=False, sm_scale=None, q_offset=0,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=None,
+    num_sub=DEFAULT_NUM_SUB,
 ):
     """Forward that also returns logsumexp [b, hq, n] — the (m, l) carry the
     ring/context-parallel layer merges across devices (non-differentiable)."""
-    return _fwd(q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret)
+    return _fwd(
+        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
+    )

@@ -67,45 +67,52 @@ def benchmark_chained(
     name: str = "kernel",
     chain: Callable[..., tuple] | None = None,
     n_pair: tuple[int, int] = (20, 120),
-    reps: int = 3,
+    reps: int = 6,
     flops: int | None = None,
     bytes_accessed: int | None = None,
+    min_delta_s: float = 1.0,
 ) -> BenchResult:
     """Overhead-free kernel timing for high-latency dispatch paths.
 
-    The axon TPU tunnel has a fixed ~140 ms dispatch+fetch round trip and an
-    unreliable `block_until_ready`, so per-call timing lies. Instead run n1
-    and n2 *chained* iterations inside one jit (lax.fori_loop; `chain` feeds
-    the output back as the next input, default: replace the first arg) and
-    report the slope (t2 - t1) / (n2 - n1) — pure kernel time.
+    The axon TPU tunnel has a fixed ~140 ms dispatch+fetch round trip with
+    100s-of-ms jitter, and an unreliable `block_until_ready`, so per-call
+    timing lies. Instead run n1 and n2 *chained* iterations inside one jit
+    (lax.fori_loop with a RUNTIME trip count, so both points share one
+    executable; `chain` feeds the output back as the next input, default:
+    replace the first arg) and report the slope (t2 - t1) / (n2 - n1).
+    After a pilot run, n2 is auto-scaled so the compute delta is at least
+    `min_delta_s` — large enough to bury the tunnel jitter.
     """
     import numpy as np
 
     if chain is None:
         chain = lambda out, a: (out,) + tuple(a[1:])  # noqa: E731
 
-    def make(n):
-        @jax.jit
-        def run(*a):
-            def body(_, a):
-                return tuple(chain(fn(*a), a))
+    @jax.jit
+    def run(n, *a):
+        def body(_, a):
+            return tuple(chain(fn(*a), a))
 
-            return jax.lax.fori_loop(0, n, body, tuple(a))
+        return jax.lax.fori_loop(0, n, body, tuple(a), unroll=False)
 
-        return run
-
-    times = {}
-    for n in n_pair:
-        h = make(n)
-        np.asarray(jax.tree.leaves(h(*args))[0])  # compile + warm
+    def measure(n, r=reps):
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(r):
             t0 = time.perf_counter()
-            np.asarray(jax.tree.leaves(h(*args))[0])
+            np.asarray(jax.tree.leaves(run(n, *args))[0])
             best = min(best, time.perf_counter() - t0)
-        times[n] = best
+        return best
 
     n1, n2 = n_pair
+    np.asarray(jax.tree.leaves(run(1, *args))[0])  # compile + warm
+    # pilot: estimate per-iter time, then size n2 to bury the jitter
+    pilot = measure(n2, r=2) - measure(n1, r=2)
+    per_iter_est = max(pilot / (n2 - n1), 1e-7)
+    need = int(min_delta_s / per_iter_est)
+    if need > n2 - n1:
+        n2 = n1 + need
+
+    times = {n: measure(n) for n in (n1, n2)}
     per_iter_ms = 1e3 * (times[n2] - times[n1]) / (n2 - n1)
     return BenchResult(
         name=name,

@@ -139,6 +139,54 @@ def test_flash_attention_ragged_zero_len(rng):
 
 
 @pytest.mark.parametrize("causal", [False, True])
+def test_flash_backward_vs_float64(rng, causal):
+    """Pallas backward vs a float64 numpy oracle (GQA + ragged tails).
+
+    The f32 autodiff reference itself carries ~4e-3 cancellation noise in
+    ds = p * (dp - delta); the float64 oracle shows the Pallas kernels are
+    ~100x tighter than that (measured ~3e-5)."""
+    from flashattention_kernel_project_tpu.ops.flash_attention import (
+        _bwd_pallas,
+        _fwd,
+    )
+
+    b, hq, hkv, n, s, d = 1, 4, 2, 96, 160, 32
+    q = rng.standard_normal((b, hq, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    g = rng.standard_normal((b, hq, n, d), dtype=np.float32)
+    sm = 1.0 / np.sqrt(d)
+
+    group = hq // hkv
+    kr = np.repeat(k.astype(np.float64), group, 1)
+    vr = np.repeat(v.astype(np.float64), group, 1)
+    S = np.einsum("bhnd,bhsd->bhns", q.astype(np.float64), kr) * sm
+    if causal:
+        mask = np.arange(s)[None, :] <= np.arange(n)[:, None]
+        S = np.where(mask[None, None], S, -np.inf)
+    P = np.exp(S - S.max(-1, keepdims=True))
+    P /= P.sum(-1, keepdims=True)
+    g64 = g.astype(np.float64)
+    dv64 = np.einsum("bhns,bhnd->bhsd", P, g64)
+    dP = np.einsum("bhnd,bhsd->bhns", g64, vr)
+    delta = (P * dP).sum(-1, keepdims=True)
+    dS = P * (dP - delta) * sm
+    dq64 = np.einsum("bhns,bhsd->bhnd", dS, kr)
+    dk64 = np.einsum("bhns,bhnd->bhsd", dS, q.astype(np.float64))
+    # fold the GQA group back onto KV heads
+    dk64 = dk64.reshape(b, hkv, group, s, d).sum(2)
+    dv64 = dv64.reshape(b, hkv, group, s, d).sum(2)
+
+    qj, kj, vj, gj = map(jnp.asarray, (q, k, v, g))
+    out, lse = _fwd(qj, kj, vj, causal, None, 0, 32, 64, True)
+    dq, dk, dv = _bwd_pallas(
+        (qj, kj, vj, out, lse), gj, causal, sm, 0, 32, 64, True
+    )
+    for got, want in ((dq, dq64), (dk, dk64), (dv, dv64)):
+        assert_rel_l2(np.asarray(got, np.float64), want, tol=5e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
 def test_flash_gradients(rng, causal):
     """Gradients vs autodiff through the naive attention expression."""
     q, k, v = _rand_qkv(rng, 1, 4, 2, 64, 96, 32)
