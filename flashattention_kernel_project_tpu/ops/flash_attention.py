@@ -44,6 +44,8 @@ from flashattention_kernel_project_tpu.utils.platform import default_interpret
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024  # with mask-skip, 1024 beats 512 by ~25% (perf journal)
 _LANES = 128  # VPU lane width; m/l scratch is lane-broadcast for alignment
+_LOG2E = 1.4426950408889634  # log2(e): fwd softmax runs in the log2 domain
+_LN2 = 0.6931471805599453
 
 
 def _fwd_kernel(
@@ -64,9 +66,15 @@ def _fwd_kernel(
     block_k: int,
     num_sub: int,
     pipeline_subs: bool,
+    score_bf16: bool = False,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
+    score_t = jnp.bfloat16 if score_bf16 else jnp.float32
+    # scores arrive in the log2 domain (wrapper folds sm_scale * log2(e) into
+    # q): exp(s_nat - m_nat) == exp2(s - m), skipping exp's internal
+    # x*log2e range-reduction multiply on every score element.
+    exp_ = jnp.exp2
 
     @pl.when(kv_idx == 0)
     def _init():
@@ -106,7 +114,7 @@ def _fwd_kernel(
                 q,
                 k[i * sub : (i + 1) * sub],
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=score_t,
                 precision=_precision(q.dtype),
             )
             for i in range(num_sub)
@@ -151,9 +159,12 @@ def _fwd_kernel(
             l_c = l_scr[:]
             for i, s_i in enumerate(s_parts):
                 m_t = jnp.max(s_i, axis=-1, keepdims=True)  # [block_q, 1]
-                m_n = jnp.maximum(m_c, m_t)
-                sc = jnp.exp(m_c - m_n)
-                p = jnp.exp((s_i - m_n[:, :1]).astype(v.dtype))
+                m_n = jnp.maximum(m_c, m_t.astype(jnp.float32))
+                sc = exp_(m_c - m_n)
+                # subtract at the score dtype (bf16 scores stay packed 2x)
+                p = exp_(
+                    (s_i - m_n[:, :1].astype(s_i.dtype)).astype(v.dtype)
+                )
                 if masks[i] is not None:
                     p = jnp.where(masks[i], p, jnp.zeros_like(p))
                 l_c = l_c * sc + jnp.sum(
@@ -176,12 +187,14 @@ def _fwd_kernel(
             m_tile = s_parts[0].max(axis=-1, keepdims=True)
             for s_i in s_parts[1:]:
                 m_tile = jnp.maximum(m_tile, s_i.max(axis=-1, keepdims=True))
-            m_next = jnp.maximum(m_prev, m_tile)  # -> [block_q, LANES]
-            scale_old = jnp.exp(m_prev - m_next)
+            m_next = jnp.maximum(m_prev, m_tile.astype(jnp.float32))
+            scale_old = exp_(m_prev - m_next)
             l_next = l_prev * scale_old
             pv_sum = None
             for i, s_i in enumerate(s_parts):
-                p = jnp.exp((s_i - m_next[:, :1]).astype(v.dtype))
+                p = exp_(
+                    (s_i - m_next[:, :1].astype(s_i.dtype)).astype(v.dtype)
+                )
                 if masks[i] is not None:
                     p = jnp.where(masks[i], p, jnp.zeros_like(p))
                 l_next = l_next + jnp.sum(
@@ -225,8 +238,9 @@ def _fwd_kernel(
         l = l_scr[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
-        # logsumexp residual for the backward pass / merges
-        lse = m_scr[:, :1] + jnp.log(safe_l)
+        # logsumexp residual for the backward pass / merges; the running max
+        # lives in the log2 domain, so convert back to natural log
+        lse = m_scr[:, :1] * _LN2 + jnp.log(safe_l)
         lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, lse)
 
 
@@ -242,6 +256,7 @@ def _fwd(
     interpret: bool | None,
     num_sub: int = 1,
     pipeline_subs: bool = True,
+    score_bf16: bool = False,
 ):
     if interpret is None:
         interpret = default_interpret()
@@ -252,8 +267,10 @@ def _fwd(
     group = hq // hkv
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
-    # fold the score scale into q (cost O(N*D), saves an O(N*S) VPU pass)
-    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    # fold the score scale AND log2(e) into q (cost O(N*D)): scores land in
+    # the log2 domain so the kernel's softmax uses exp2 directly, saving the
+    # range-reduction multiply inside exp on every O(N*S) score element
+    q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
 
     block_q = min(block_q, max(n, 8))
     block_k = min(block_k, max(s, 128))
@@ -279,6 +296,7 @@ def _fwd(
         block_k=block_k,
         num_sub=num_sub,
         pipeline_subs=pipeline_subs,
+        score_bf16=score_bf16,
     )
     out, lse = pl.pallas_call(
         kernel,
