@@ -95,6 +95,24 @@ def build_benches(quick: bool):
         functools.partial(ops.flash_attention, causal=False),
         (q, k, v), flops=4 * B * H * N * N * D)
 
+    # BASELINE.md tracks attention-fwd vs roofline at d in {64,128} and
+    # seq 4K-32K — the long-seq sweep and the d=64 point:
+    for seq_k in ((8, 16, 32) if not quick else (8,)):
+        Nl = seq_k * 1024
+        ql = jnp.asarray(rng.standard_normal((B, H, Nl, D)), jnp.bfloat16)
+        kl = jnp.asarray(rng.standard_normal((B, HKV, Nl, D)), jnp.bfloat16)
+        vl = jnp.asarray(rng.standard_normal((B, HKV, Nl, D)), jnp.bfloat16)
+        reg(f"flashattn_fwd_causal_d128_seq{seq_k}k",
+            functools.partial(ops.flash_attention, causal=True),
+            (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5))
+    D64 = 64
+    q64 = jnp.asarray(rng.standard_normal((B, H, N, D64)), jnp.bfloat16)
+    k64 = jnp.asarray(rng.standard_normal((B, HKV, N, D64)), jnp.bfloat16)
+    v64 = jnp.asarray(rng.standard_normal((B, HKV, N, D64)), jnp.bfloat16)
+    reg("flashattn_fwd_causal_d64_seq4k",
+        functools.partial(ops.flash_attention, causal=True),
+        (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5))
+
     # --- decode (streaming section 2.6 analog; bandwidth-bound) ------------
     DB, DS = 8, 8192
     qd = jnp.asarray(rng.standard_normal((DB, H, D)), dtype=jnp.bfloat16)
@@ -119,9 +137,30 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--trace", default=None, metavar="SUBSTR",
+        help="capture a jax.profiler trace of the matching rung instead of "
+             "timing it (the reference's per-file ncu recipe, section 5.1)",
+    )
     args = ap.parse_args()
 
     benches, benchmark_chained = build_benches(args.quick)
+    if args.trace:
+        from flashattention_kernel_project_tpu.utils.benchmarking import (
+            capture_trace,
+        )
+
+        for b in benches:
+            if args.trace in b["name"]:
+                d = capture_trace(
+                    b["fn"], *b["args"],
+                    trace_dir=f"/tmp/fkp_trace_{b['name']}",
+                )
+                print(f"{b['name']}: trace written to {d} "
+                      "(open with XProf / ui.perfetto.dev)")
+                return
+        print(f"no bench matches --trace {args.trace}")
+        return
     results = []
     for b in benches:
         if args.only and args.only not in b["name"]:

@@ -17,3 +17,7 @@ from flashattention_kernel_project_tpu.models.engine import (  # noqa: F401
     decode_step,
     generate,
 )
+from flashattention_kernel_project_tpu.models.checkpoint import (  # noqa: F401
+    restore_checkpoint,
+    save_checkpoint,
+)

@@ -16,3 +16,4 @@ from flashattention_kernel_project_tpu.utils.testing import (  # noqa: F401
     assert_max_abs,
     assert_rel_l2,
 )
+from flashattention_kernel_project_tpu.utils import health  # noqa: F401,E402

@@ -124,6 +124,30 @@ def benchmark_chained(
     )
 
 
+def capture_trace(
+    fn: Callable[..., Any],
+    *args: Any,
+    trace_dir: str = "/tmp/fkp_trace",
+    iters: int = 3,
+) -> str:
+    """Capture a jax.profiler trace of `fn(*args)` — the TPU analog of the
+    reference's per-file `ncu` recipes (SURVEY.md section 5.1;
+    e.g. `gemm_naive_tiled.cu:247`). Open the result with XProf/Perfetto
+    (`xprof --port ... <dir>` or ui.perfetto.dev) to read per-op device
+    time, MXU utilization, and HBM traffic.
+
+    Returns the trace directory."""
+    import jax
+
+    out = fn(*args)  # compile outside the trace
+    jax.block_until_ready(out)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+    return trace_dir
+
+
 def benchmark(
     fn: Callable[..., Any],
     *args: Any,
