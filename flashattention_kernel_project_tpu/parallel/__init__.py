@@ -14,3 +14,8 @@ from flashattention_kernel_project_tpu.parallel.ring_attention import (  # noqa:
 from flashattention_kernel_project_tpu.parallel.ulysses import (  # noqa: F401
     ulysses_attention,
 )
+from flashattention_kernel_project_tpu.parallel.pipeline import (  # noqa: F401
+    make_pp_train_step,
+    pp_loss_fn,
+    pp_param_specs,
+)
