@@ -216,3 +216,17 @@ def test_flash_gradients(rng, causal):
     g_naive = jax.grad(loss_naive, argnums=(0, 1, 2))(qj, kj, vj)
     for gf, gn in zip(g_flash, g_naive):
         assert_rel_l2(gf, gn, tol=1e-3)
+
+
+@pytest.mark.parametrize("num_sub,pipe", [(2, True), (2, False), (4, True)])
+def test_flash_forward_num_sub(rng, num_sub, pipe):
+    """KV sub-tiling knob (MXU/VPU interleave experiments) stays correct."""
+    from flashattention_kernel_project_tpu.ops.flash_attention import _fwd
+
+    q, k, v = _rand_qkv(rng, 1, 4, 2, 96, 160, 32)
+    out, _ = _fwd(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        True, None, 0, 32, 64, True, num_sub, pipe,
+    )
+    want = oracles.gqa_attention(q, k, v, causal=True)
+    assert_rel_l2(np.asarray(out), want, tol=1e-3)
