@@ -22,6 +22,7 @@ import numpy as np
 
 from flashattention_kernel_project_tpu.models import engine
 from flashattention_kernel_project_tpu.models import transformer as tfm
+from flashattention_kernel_project_tpu.runtime.native import BatchSchedulerCore
 
 
 @dataclasses.dataclass
@@ -31,10 +32,6 @@ class Request:
     max_new_tokens: int
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
-
-
-def _bucket(n: int, granule: int = 64) -> int:
-    return max(granule, ((n + granule - 1) // granule) * granule)
 
 
 class Scheduler:
@@ -64,9 +61,12 @@ class Scheduler:
         )
         self.slots: list[Request | None] = [None] * max_batch
         self.cur_tokens = np.zeros(max_batch, np.int32)
-        self.pending: list[Request] = []
         self.finished: list[Request] = []
-        self._next_uid = 0
+        # all scheduling DECISIONS (admission order, slot choice, budget/EOS
+        # finish, prompt bucketing) live in the native C++ core
+        # (runtime/scheduler.cpp; behavior-identical Python fallback)
+        self.core = BatchSchedulerCore(max_batch, max_len)
+        self._requests: dict[int, Request] = {}
 
         # one compiled single-seq prefill per prompt bucket
         self._prefill_1 = functools.partial(
@@ -78,40 +78,32 @@ class Scheduler:
 
     # ----------------------------------------------------------------- API
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 32) -> int:
-        uid = self._next_uid
-        self._next_uid += 1
-        self.pending.append(
-            Request(uid, np.asarray(prompt, np.int32), max_new_tokens)
-        )
+        prompt = np.asarray(prompt, np.int32)
+        uid = self.core.submit(len(prompt), max_new_tokens)
+        if uid < 0:
+            raise ValueError(
+                f"prompt ({len(prompt)}) + max_new ({max_new_tokens}) "
+                f"exceeds max_len ({self.max_len})"
+            )
+        self._requests[uid] = Request(uid, prompt, max_new_tokens)
         return uid
 
     def run(self) -> dict[int, list[int]]:
         """Drain all requests; returns {uid: generated tokens}."""
-        while self.pending or any(s is not None for s in self.slots):
+        while self.core.pending() or self.core.active():
             self._fill_slots()
             self._decode_once()
         return {r.uid: r.generated for r in self.finished}
 
     # ------------------------------------------------------------ internals
-    def _free_slot(self) -> int | None:
-        for i, s in enumerate(self.slots):
-            if s is None:
-                return i
-        return None
-
     def _fill_slots(self):
-        while self.pending:
-            slot = self._free_slot()
-            if slot is None:
-                return
-            req = self.pending.pop(0)
-            self._insert(slot, req)
+        for uid, slot, bucket in self.core.fill():
+            self._insert(slot, self._requests[uid], bucket)
 
-    def _insert(self, slot: int, req: Request):
+    def _insert(self, slot: int, req: Request, tb: int):
         """Prefill the prompt as a batch-1 sequence, splice its KV into the
         batch cache at `slot`, record the first generated token."""
         t = len(req.prompt)
-        tb = _bucket(t)
         prompt = np.zeros((1, tb), np.int32)
         prompt[0, :t] = req.prompt
         cache1 = engine.init_cache(
@@ -144,7 +136,7 @@ class Scheduler:
         first = int(np.argmax(np.asarray(logits)[0]))
         self.cur_tokens[slot] = first
         req.generated.append(first)
-        self._maybe_finish(slot)
+        self._on_token(slot, first)
 
     def _exact_last_logits(self, prompt: np.ndarray):
         logits = tfm.forward(
@@ -156,7 +148,7 @@ class Scheduler:
         return logits[:, -1]
 
     def _decode_once(self):
-        if not any(s is not None for s in self.slots):
+        if not self.core.active():
             return
         logits, self.cache = self._decode(
             self.params, jnp.asarray(self.cur_tokens), self.cache
@@ -168,16 +160,17 @@ class Scheduler:
             tok = int(nxt[i])
             req.generated.append(tok)
             self.cur_tokens[i] = tok
-            self._maybe_finish(i)
+            self._on_token(i, tok)
 
-    def _maybe_finish(self, slot: int):
-        req = self.slots[slot]
-        hit_eos = self.eos_token is not None and req.generated[-1] == self.eos_token
-        if len(req.generated) >= req.max_new_tokens or hit_eos:
+    def _on_token(self, slot: int, token: int):
+        """Report the token to the core; on finish, retire the request and
+        zero the slot length so the decode kernel masks it out."""
+        eos = -1 if self.eos_token is None else self.eos_token
+        if self.core.on_token(slot, token, eos):
+            req = self.slots[slot]
             req.done = True
             self.finished.append(req)
             self.slots[slot] = None
-            # free the slot: zero its length so decode masks it out
             self.cache = self.cache._replace(
                 lengths=self.cache.lengths.at[slot].set(0)
             )

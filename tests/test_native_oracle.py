@@ -31,3 +31,60 @@ def test_native_attention(rng, causal, q_offset):
     got = native.gqa_attention(q, k, v, causal=causal, q_offset=q_offset)
     exp = oracles.gqa_attention(q, k, v, causal=causal, q_offset=q_offset)
     np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Native continuous-batching scheduler core (runtime/scheduler.cpp)
+# ---------------------------------------------------------------------------
+
+def test_scheduler_core_native_builds():
+    from flashattention_kernel_project_tpu.runtime import native
+
+    assert native.scheduler_available(), "g++ is in the image; must build"
+    core = native.BatchSchedulerCore(4, 256)
+    assert core.native
+
+
+def _drive(core):
+    """Deterministic workload; returns the full decision trace."""
+    trace = []
+    uids = [core.submit(pl, mn) for pl, mn in
+            [(10, 3), (70, 2), (5, 8), (64, 1), (100, 2), (1, 4)]]
+    trace.append(("uids", tuple(uids)))
+    trace.append(("reject", core.submit(250, 20)))
+    step = 0
+    while core.pending() or core.active():
+        trace.append(("fill", tuple(core.fill())))
+        for slot in range(core.n_slots):
+            if core.slot_uid(slot) >= 0:
+                tok = (step * 7 + slot) % 50
+                fin = core.on_token(slot, tok, eos=13)
+                trace.append(("tok", slot, tok, fin))
+        step += 1
+        assert step < 100
+    return trace
+
+
+def test_scheduler_core_native_matches_python_fallback():
+    """The C++ core and the pure-Python fallback must produce the identical
+    decision trace on the same workload — they share one state machine."""
+    from flashattention_kernel_project_tpu.runtime import native
+
+    nat = native.BatchSchedulerCore(3, 256)
+    assert nat.native
+    py = native.BatchSchedulerCore(3, 256)
+    py._lib = None  # force the fallback path
+    py._slots = [None] * 3
+    py._pending = []
+    py._next_uid = 0
+    assert _drive(nat) == _drive(py)
+
+
+def test_scheduler_core_bucketing():
+    from flashattention_kernel_project_tpu.runtime import native
+
+    core = native.BatchSchedulerCore(2, 1024, granule=64)
+    assert core.bucket(1) == 64
+    assert core.bucket(64) == 64
+    assert core.bucket(65) == 128
+    assert core.bucket(1000) == 1024
