@@ -41,8 +41,19 @@ from flashattention_kernel_project_tpu.ops.gemm import _precision
 from flashattention_kernel_project_tpu.ops.softmax import NEG_INF
 from flashattention_kernel_project_tpu.utils.platform import default_interpret
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 1024  # with mask-skip, 1024 beats 512 by ~25% (perf journal)
+# Block-shape defaults (None = auto): swept on TPU v5e (docs/perf_journal.md).
+# d=128: (512, 1024); d<=64: (1024, 1024) — the bigger q block amortizes the
+# per-block (m, l, acc) state passes over a halved-FLOP problem.
+DEFAULT_BLOCK_Q = None
+DEFAULT_BLOCK_K = None
+
+
+def _auto_blocks(block_q, block_k, d):
+    if block_q is None:
+        block_q = 1024 if d <= 64 else 512
+    if block_k is None:
+        block_k = 1024
+    return block_q, block_k
 _LANES = 128  # VPU lane width; m/l scratch is lane-broadcast for alignment
 _LOG2E = 1.4426950408889634  # log2(e): fwd softmax runs in the log2 domain
 _LN2 = 0.6931471805599453
@@ -265,6 +276,7 @@ def _fwd(
     d_v = v.shape[-1]
     assert hq % hkv == 0, (hq, hkv)
     group = hq // hkv
+    block_q, block_k = _auto_blocks(block_q, block_k, d)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     # fold the score scale AND log2(e) into q (cost O(N*D)): scores land in
@@ -446,8 +458,8 @@ def flash_attention_ragged(
     *,
     causal: bool = True,
     sm_scale: float | None = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int | None = DEFAULT_BLOCK_Q,
+    block_k: int | None = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Fused attention with per-batch KV lengths and causal query offsets.
@@ -463,6 +475,7 @@ def flash_attention_ragged(
     _, hkv, s, _ = k.shape
     d_v = v.shape[-1]
     group = hq // hkv
+    block_q, block_k = _auto_blocks(block_q, block_k, d)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     block_q = min(block_q, max(n, 8))
@@ -728,6 +741,7 @@ def _bwd_pallas(
     d_v = v.shape[-1]
     group = hq // hkv
 
+    block_q, block_k = _auto_blocks(block_q, block_k, d)
     block_q = min(block_q, max(n, 8))
     block_k = min(block_k, max(s_len, 128))
     pad_q = (-n) % block_q
@@ -951,8 +965,8 @@ def flash_attention(
     causal: bool = False,
     sm_scale: float | None = None,
     q_offset: int = 0,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int | None = DEFAULT_BLOCK_Q,
+    block_k: int | None = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
     num_sub: int = DEFAULT_NUM_SUB,
 ) -> jax.Array:
