@@ -22,6 +22,7 @@ from flashattention_kernel_project_tpu.ops.flash_attention import (  # noqa: F40
 from flashattention_kernel_project_tpu.ops.flash_decode import (  # noqa: F401
     flash_decode,
     flash_decode_int8,
+    flash_decode_fp8,
     merge_partials,
 )
 from flashattention_kernel_project_tpu.ops.streaming import (  # noqa: F401

@@ -246,9 +246,14 @@ def flash_decode_int8(
     sm_scale: float | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """flash_decode against an INT8 KV cache (per-token scales, fused dequant).
+    """flash_decode against a quantized KV cache (per-token scales, dequant
+    fused into the kernel's K/V load stage — the slot where the reference
+    does cp.async, flashattn_forward_wmma_v5_cp_async.cu:229-251).
 
-    k_q/v_q: [B, Hkv, S_max, D] int8; k_scale/v_scale: [B, Hkv, S_max, 1] f32.
+    k_q/v_q: [B, Hkv, S_max, D] int8 OR float8_e4m3fn (the kernel only casts
+    to the compute dtype and applies the scales outside the MXU matmuls, so
+    both 8-bit formats share one kernel); k_scale/v_scale:
+    [B, Hkv, S_max, 1] f32. `flash_decode_fp8` is the fp8-named alias.
     """
     if interpret is None:
         interpret = default_interpret()
@@ -307,3 +312,8 @@ def flash_decode_int8(
 
     out = merge_partials(m, l, y)
     return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)
+
+
+# fp8_e4m3 KV shares the int8 kernel: both are 8-bit-per-value + per-token
+# f32 scales; the in-kernel dequant is a cast either way.
+flash_decode_fp8 = flash_decode_int8

@@ -135,12 +135,26 @@ def matmul_int8_weights(
 # ---------------------------------------------------------------------------
 
 def quantize_kv(
-    k: jax.Array, v: jax.Array
+    k: jax.Array, v: jax.Array, *, fmt: str = "int8"
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Per-token symmetric int8 quantization of a KV cache.
+    """Per-token symmetric 8-bit quantization of a KV cache.
 
-    k, v: [..., S, D] -> (k_q int8, k_scale [..., S, 1], v_q, v_scale).
+    k, v: [..., S, D] -> (k_q, k_scale [..., S, 1], v_q, v_scale);
+    fmt: "int8" (symmetric absmax/127) or "fp8" (float8_e4m3fn, absmax/448).
     """
+    if fmt == "fp8":
+        import jax.numpy as _jnp
+
+        def qf(x):
+            scale = _jnp.max(_jnp.abs(x.astype(_jnp.float32)), -1, keepdims=True)
+            scale = _jnp.maximum(scale, 1e-8) / 448.0  # e4m3 max normal
+            return (x.astype(_jnp.float32) / scale).astype(
+                _jnp.float8_e4m3fn
+            ), scale
+
+        k_q, k_scale = qf(k)
+        v_q, v_scale = qf(v)
+        return k_q, k_scale, v_q, v_scale
     k_q, k_scale = quantize_int8(k, axis=-1)
     v_q, v_scale = quantize_int8(v, axis=-1)
     return k_q, k_scale, v_q, v_scale

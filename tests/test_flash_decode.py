@@ -81,3 +81,32 @@ def test_flash_decode_matches_flash_attention(rng):
         jnp.full((b,), s, dtype=jnp.int32), n_splits=2,
     )
     assert_rel_l2(dec, np.asarray(full)[:, :, -1], tol=1e-3)
+
+
+def test_flash_decode_fp8(rng):
+    """fp8_e4m3 KV cache with fused dequant, vs the fp32 oracle at the
+    quantized bit-width's 1e-2 gate (BASELINE numerics target)."""
+    b, hq, hkv, s, d = 2, 8, 2, 256, 64
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    lengths = np.array([s, 100], np.int32)
+
+    kq, ks, vq, vs = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v), fmt="fp8")
+    assert kq.dtype == jnp.float8_e4m3fn
+    got = ops.flash_decode_fp8(
+        jnp.asarray(q), kq, ks, vq, vs, jnp.asarray(lengths), n_splits=4
+    )
+    # "same bit-width" oracle (BASELINE numerics gate): e4m3's 3-bit mantissa
+    # carries ~2.5% inherent quantization error, so the fp32 reference must
+    # consume the same dequantized K/V the kernel does.
+    k_dq = np.asarray(kq.astype(jnp.float32)) * np.asarray(ks)
+    v_dq = np.asarray(vq.astype(jnp.float32)) * np.asarray(vs)
+    for i in range(b):
+        exp = oracles.gqa_attention(
+            q[i : i + 1, :, None],
+            k_dq[i : i + 1, :, : lengths[i]],
+            v_dq[i : i + 1, :, : lengths[i]],
+            causal=False,
+        )[:, :, 0]
+        assert_rel_l2(np.asarray(got)[i : i + 1], exp, tol=1e-2)
