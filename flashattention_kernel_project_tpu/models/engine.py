@@ -26,22 +26,29 @@ from flashattention_kernel_project_tpu.ops.quant import quantize_int8
 
 
 class KVCache(NamedTuple):
-    """Per-layer stacked KV cache.
+    """KV cache as PER-LAYER tuples of arrays.
 
-    k, v: [L, B, Hkv, S_max, D] (cfg dtype, or int8 when quantized)
-    k_scale, v_scale: [L, B, Hkv, S_max, 1] f32 (all-ones when not quantized)
+    k, v: tuple of L arrays [B, Hkv, S_max, D] (cfg dtype / int8 quantized)
+    k_scale, v_scale: tuple of L arrays [B, Hkv, S_max, 1] f32 (or None)
     lengths: [B] int32 — valid tokens per slot
+
+    Per-layer buffers (not one stacked [L, ...] array) so a single layer's
+    token append never touches the other layers: with a stacked array,
+    `cache.k.at[i].set(...)` gathers + rewrites the WHOLE cache each decode
+    step (measured 0.53 ms/step of pure copy at 4x8x2304 — the largest
+    single cost in the decode loop); with tuples XLA donates each layer
+    buffer through the loop carry and the append is just the scatter.
     """
 
-    k: jax.Array
-    v: jax.Array
-    k_scale: jax.Array | None
-    v_scale: jax.Array | None
+    k: tuple
+    v: tuple
+    k_scale: tuple | None
+    v_scale: tuple | None
     lengths: jax.Array
 
     @property
     def quantized(self) -> bool:
-        return self.k.dtype == jnp.int8
+        return self.k[0].dtype == jnp.int8
 
 
 def init_cache(
@@ -51,18 +58,23 @@ def init_cache(
     *,
     quantized: bool = False,
 ) -> KVCache:
-    shape = (cfg.n_layers, batch, cfg.n_kv_heads, max_len, cfg.d_head)
+    shape = (batch, cfg.n_kv_heads, max_len, cfg.d_head)
+    L = cfg.n_layers
     if quantized:
         return KVCache(
-            k=jnp.zeros(shape, jnp.int8),
-            v=jnp.zeros(shape, jnp.int8),
-            k_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
-            v_scale=jnp.zeros(shape[:-1] + (1,), jnp.float32),
+            k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
+            v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
+            k_scale=tuple(
+                jnp.zeros(shape[:-1] + (1,), jnp.float32) for _ in range(L)
+            ),
+            v_scale=tuple(
+                jnp.zeros(shape[:-1] + (1,), jnp.float32) for _ in range(L)
+            ),
             lengths=jnp.zeros((batch,), jnp.int32),
         )
     return KVCache(
-        k=jnp.zeros(shape, cfg.dtype),
-        v=jnp.zeros(shape, cfg.dtype),
+        k=tuple(jnp.zeros(shape, cfg.dtype) for _ in range(L)),
+        v=tuple(jnp.zeros(shape, cfg.dtype) for _ in range(L)),
         k_scale=None,
         v_scale=None,
         lengths=jnp.zeros((batch,), jnp.int32),
@@ -79,28 +91,43 @@ def _write_tokens(cache_layer, new, lengths):
     return jax.vmap(one)(cache_layer, new, lengths)
 
 
+def _set_layer(layers: tuple, i: int, val) -> tuple:
+    return layers[:i] + (val,) + layers[i + 1 :]
+
+
 def _quantize_and_write(cache: KVCache, layer_idx, k_new, v_new, lengths):
-    """Write new KV (quantizing if the cache is int8). Returns updated k/v
-    (+scales) arrays for one layer stacked back into the cache pytree."""
+    """Write new KV (quantizing if the cache is int8). Returns the updated
+    per-layer k/v (+scale) tuples; only layer_idx's buffer is touched."""
     if cache.quantized:
         k_q, k_s = quantize_int8(k_new, axis=-1)
         v_q, v_s = quantize_int8(v_new, axis=-1)
         return (
-            cache.k.at[layer_idx].set(_write_tokens(cache.k[layer_idx], k_q, lengths)),
-            cache.v.at[layer_idx].set(_write_tokens(cache.v[layer_idx], v_q, lengths)),
-            cache.k_scale.at[layer_idx].set(
-                _write_tokens(cache.k_scale[layer_idx], k_s, lengths)
+            _set_layer(
+                cache.k, layer_idx,
+                _write_tokens(cache.k[layer_idx], k_q, lengths),
             ),
-            cache.v_scale.at[layer_idx].set(
-                _write_tokens(cache.v_scale[layer_idx], v_s, lengths)
+            _set_layer(
+                cache.v, layer_idx,
+                _write_tokens(cache.v[layer_idx], v_q, lengths),
+            ),
+            _set_layer(
+                cache.k_scale, layer_idx,
+                _write_tokens(cache.k_scale[layer_idx], k_s, lengths),
+            ),
+            _set_layer(
+                cache.v_scale, layer_idx,
+                _write_tokens(cache.v_scale[layer_idx], v_s, lengths),
             ),
         )
+    dt = cache.k[layer_idx].dtype
     return (
-        cache.k.at[layer_idx].set(
-            _write_tokens(cache.k[layer_idx], k_new.astype(cache.k.dtype), lengths)
+        _set_layer(
+            cache.k, layer_idx,
+            _write_tokens(cache.k[layer_idx], k_new.astype(dt), lengths),
         ),
-        cache.v.at[layer_idx].set(
-            _write_tokens(cache.v[layer_idx], v_new.astype(cache.v.dtype), lengths)
+        _set_layer(
+            cache.v, layer_idx,
+            _write_tokens(cache.v[layer_idx], v_new.astype(dt), lengths),
         ),
         cache.k_scale,
         cache.v_scale,
@@ -239,7 +266,7 @@ def decode_step(
     tokens: jax.Array,
     cache: KVCache,
     *,
-    n_splits: int = 8,
+    n_splits: int | None = None,
     interpret: bool | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """One decode step: tokens [B] -> (logits [B, vocab], updated cache)."""
@@ -292,7 +319,7 @@ def generate(
     max_new_tokens: int = 32,
     max_len: int | None = None,
     quantized_cache: bool = False,
-    n_splits: int = 8,
+    n_splits: int | None = None,
     temperature: float = 0.0,
     key: jax.Array | None = None,
     interpret: bool | None = None,

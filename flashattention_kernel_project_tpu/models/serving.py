@@ -46,7 +46,7 @@ class Scheduler:
         max_len: int = 2048,
         quantized_cache: bool = False,
         eos_token: int | None = None,
-        n_splits: int = 8,
+        n_splits: int | None = None,
         interpret: bool | None = None,
     ):
         self.cfg = cfg
@@ -118,18 +118,21 @@ class Scheduler:
         # padding. Run the exact-length path when t != tb.
         if t != tb:
             logits = self._exact_last_logits(req.prompt)
-        # splice KV [L,1,Hkv,tb,D] -> cache[:, slot, :, :tb]
+        # splice per-layer KV [1,Hkv,tb,D] -> cache layer [slot, :, :tb]
         def splice(big, small):
             return jax.lax.dynamic_update_slice(
-                big, small.astype(big.dtype), (0, slot, 0, 0, 0)
+                big, small.astype(big.dtype), (slot, 0, 0, 0)
             )
 
-        new_k = splice(self.cache.k, cache1.k)
-        new_v = splice(self.cache.v, cache1.v)
+        def splice_all(bigs, smalls):
+            return tuple(splice(b, s) for b, s in zip(bigs, smalls))
+
+        new_k = splice_all(self.cache.k, cache1.k)
+        new_v = splice_all(self.cache.v, cache1.v)
         ks, vs = self.cache.k_scale, self.cache.v_scale
         if self.cache.quantized:
-            ks = splice(ks, cache1.k_scale)
-            vs = splice(vs, cache1.v_scale)
+            ks = splice_all(ks, cache1.k_scale)
+            vs = splice_all(vs, cache1.v_scale)
         lengths = self.cache.lengths.at[slot].set(t)
         self.cache = engine.KVCache(new_k, new_v, ks, vs, lengths)
         self.slots[slot] = req

@@ -158,7 +158,7 @@ def flash_decode(
     v_cache: jax.Array,
     lengths: jax.Array,
     *,
-    n_splits: int = 8,
+    n_splits: int | None = None,
     sm_scale: float | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -169,7 +169,12 @@ def flash_decode(
       k_cache, v_cache: [B, Hkv, S_max, D].
       lengths: [B] int32 — valid tokens per sequence (query position is
         lengths-1; causal decode attends to keys [0, lengths)).
-      n_splits: KV splits (parallel partials merged associatively).
+      n_splits: KV splits (parallel partials merged associatively). Default
+        (None): one split per ~1024 cache tokens — a single TPU core runs
+        grid programs serially, so extra splits are pure per-program
+        overhead (measured 1.42 -> 1.13 ms/step going 8 -> 1 at S=2304);
+        splits only pay off by SKIPPING fully-masked regions of long padded
+        caches via the in-kernel length check.
 
     Returns [B, Hq, D] in q.dtype.
     """
@@ -177,6 +182,8 @@ def flash_decode(
         interpret = default_interpret()
     b, hq, d = q.shape
     _, hkv, s_max, _ = k_cache.shape
+    if n_splits is None:
+        n_splits = max(1, -(-s_max // 1024))
     assert hq % hkv == 0
     g = hq // hkv
     gp = max(8, g)
@@ -242,7 +249,7 @@ def flash_decode_int8(
     v_scale: jax.Array,
     lengths: jax.Array,
     *,
-    n_splits: int = 8,
+    n_splits: int | None = None,
     sm_scale: float | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -259,6 +266,8 @@ def flash_decode_int8(
         interpret = default_interpret()
     b, hq, d = q.shape
     _, hkv, s_max, _ = k_q.shape
+    if n_splits is None:
+        n_splits = max(1, -(-s_max // 1024))
     g = hq // hkv
     gp = max(8, g)
     if sm_scale is None:
