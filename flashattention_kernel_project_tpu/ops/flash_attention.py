@@ -601,8 +601,9 @@ def _bwd_dkdv_kernel(
                 jnp.int32, (block_q, block_k), 0
             )
             s = jnp.where(col <= row, s, NEG_INF)
-        # p = exp(s - lse); padded q rows carry lse = +1e30 -> p = 0
-        p = jnp.exp((s - lse).astype(v.dtype))
+        # p = exp2(s - lse), both in the log2 domain (wrapper folds log2e);
+        # padded q rows carry lse = +1e30 -> p = 0
+        p = jnp.exp2((s - lse).astype(v.dtype))
         dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -693,7 +694,7 @@ def _bwd_dq_kernel(
                 cm = col <= row
                 mask = cm if mask is None else jnp.logical_and(mask, cm)
             s = jnp.where(mask, s, NEG_INF)
-        p = jnp.exp((s - lse).astype(v.dtype))
+        p = jnp.exp2((s - lse).astype(v.dtype))
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -764,9 +765,11 @@ def _bwd_pallas(
     if pad_k:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-    # forward saved lse of the SCALED scores; fold sm_scale into q for the
-    # recompute so s matches, exactly as the forward wrapper does
-    q_scaled = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    # forward saved lse of the SCALED scores (natural log); recompute in the
+    # log2 domain like the forward: fold sm_scale * log2(e) into q and put
+    # lse into log2 as well, so p = exp2(s2 - lse2) == exp(s - lse) exactly
+    q_scaled = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+    lse4 = lse4 * _LOG2E
 
     np_, sp = q.shape[2], k.shape[2]
     n_q, n_kv = np_ // block_q, sp // block_k
@@ -782,7 +785,9 @@ def _bwd_pallas(
         n_q=n_q,
         causal=causal,
         q_offset=q_offset,
-        sm_scale=1.0,  # q is pre-scaled; ds carries sm_scale explicitly below
+        # q carries sm_scale*log2e; ds^T @ q_scaled would pick up the stray
+        # log2e, so scale ds by 1/log2e to leave exactly one sm_scale on dk
+        sm_scale=1.0 / _LOG2E,
         block_q=block_q,
         block_k=block_k,
     )
