@@ -396,8 +396,9 @@ def _fwd_kernel_ragged(
             live, kv_idx * block_k <= q_idx * block_q + q_off + (block_q - 1)
         )
 
-    @pl.when(live)
-    def _compute():
+    def _compute(masked: bool):
+        # q arrives sm_scale*log2e-prefolded (wrapper); softmax runs in the
+        # log2 domain like the dense kernel.
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -405,43 +406,68 @@ def _fwd_kernel_ragged(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
-        ) * sm_scale
-
-        col = kv_idx * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1
         )
-        mask = col < kv_len
-        if causal:
-            row = (
-                q_idx * block_q
-                + q_off
-                + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+
+        mask = None
+        if masked:
+            col = kv_idx * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1
             )
-            mask = jnp.logical_and(mask, col <= row)
-        s = jnp.where(mask, s, NEG_INF)
+            mask = col < kv_len
+            if causal:
+                row = (
+                    q_idx * block_q
+                    + q_off
+                    + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+                )
+                mask = jnp.logical_and(mask, col <= row)
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_scr[:]
         l_prev = l_scr[:]
         m_tile = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_tile)
-        scale_old = jnp.exp(m_prev - m_next)
-        p = jnp.where(mask, jnp.exp(s - m_next[:, :1]), 0.0)
-        l_next = l_prev * scale_old + jnp.sum(p, axis=-1, keepdims=True)
+        scale_old = jnp.exp2(m_prev - m_next)
+        p = jnp.exp2((s - m_next[:, :1]).astype(v.dtype))
+        if masked:
+            # a row fully masked in EVERY block so far (possible with a
+            # negative q_offset) has m_next == NEG_INF -> exp2(0) == 1;
+            # zero masked lanes explicitly on this instantiation only
+            p = jnp.where(mask, p, jnp.zeros_like(p))
+        l_next = l_prev * scale_old + jnp.sum(
+            p, axis=-1, keepdims=True, dtype=jnp.float32
+        )
         m_scr[:] = m_next
         l_scr[:] = l_next
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(v.dtype),
         )
         acc_scr[:] = acc_scr[:] * scale_old[:, :1] + pv
+
+    # mask-skip (same pattern as the dense kernel, but fully dynamic):
+    # a block pays mask passes only if it crosses the kv_len tail or the
+    # causal diagonal for this batch row.
+    is_tail = (kv_idx + 1) * block_k > kv_len
+    if causal:
+        crosses = (
+            kv_idx * block_k + (block_k - 1) > q_idx * block_q + q_off
+        )
+        needs_mask = jnp.logical_or(is_tail, crosses)
+    else:
+        needs_mask = is_tail
+    pl.when(jnp.logical_and(live, needs_mask))(lambda: _compute(True))
+    pl.when(jnp.logical_and(live, jnp.logical_not(needs_mask)))(
+        lambda: _compute(False)
+    )
 
     @pl.when(kv_idx == n_kv - 1)
     def _finish():
         l = l_scr[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
-        lse = m_scr[:, :1] + jnp.log(safe_l)
+        lse = m_scr[:, :1] * _LN2 + jnp.log(safe_l)
         lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, lse)
 
 
@@ -478,6 +504,9 @@ def flash_attention_ragged(
     block_q, block_k = _auto_blocks(block_q, block_k, d)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
+    # fold sm_scale * log2(e) into q: the kernel softmax runs in the log2
+    # domain and skips the per-score scale multiply (same as the dense path)
+    q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
     block_q = min(block_q, max(n, 8))
     block_k = min(block_k, max(s, 128))
     pad_q = (-n) % block_q
