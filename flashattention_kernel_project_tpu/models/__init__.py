@@ -15,6 +15,7 @@ from flashattention_kernel_project_tpu.models.engine import (  # noqa: F401
     prefill,
     extend,
     decode_step,
+    fuse_decode_params,
     generate,
 )
 from flashattention_kernel_project_tpu.models.checkpoint import (  # noqa: F401

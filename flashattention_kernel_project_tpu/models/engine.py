@@ -257,6 +257,54 @@ def extend(
     return logits, KVCache(k_all, v_all, ks_all, vs_all, new_lengths)
 
 
+def fuse_decode_params(cfg: tfm.TransformerConfig, params: dict) -> dict:
+    """One-time param transform for the decode loop: concatenate the QKV
+    projections into one [D, q+2kv] matrix and gate/up into one [D, 2F].
+    At decode batch sizes the layer matmuls are weight-streaming-bound
+    (M ~ 8 rows), so 7 weight passes -> 5 per layer. decode_step uses the
+    fused path when it sees "wqkv"; prefill/training keep the split layout
+    (it is what param_shardings / checkpoints describe)."""
+    L = params["layers"]
+    fused_layers = {
+        "rms_attn": L["rms_attn"],
+        "rms_mlp": L["rms_mlp"],
+        "wo": L["wo"],
+        "w_down": L["w_down"],
+        "wqkv": jnp.concatenate([L["wq"], L["wk"], L["wv"]], axis=-1),
+        "w_gate_up": jnp.concatenate([L["w_gate"], L["w_up"]], axis=-1),
+    }
+    return {
+        "embed": params["embed"],
+        "rms_final": params["rms_final"],
+        "layers": fused_layers,
+    }
+
+
+def _qkv(cfg, layer, h, b, t):
+    """Project h -> (q, k, v) with either the fused or the split weights."""
+    if "wqkv" in layer:
+        qd, kvd = cfg.q_dim, cfg.kv_dim
+        qkv = h @ layer["wqkv"]
+        q = qkv[..., :qd].reshape(b, t, cfg.n_heads, cfg.d_head)
+        k = qkv[..., qd : qd + kvd].reshape(b, t, cfg.n_kv_heads, cfg.d_head)
+        v = qkv[..., qd + kvd :].reshape(b, t, cfg.n_kv_heads, cfg.d_head)
+        return q, k, v
+    q = (h @ layer["wq"]).reshape(b, t, cfg.n_heads, cfg.d_head)
+    k = (h @ layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.d_head)
+    v = (h @ layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.d_head)
+    return q, k, v
+
+
+def _mlp(layer, x):
+    if "w_gate_up" in layer:
+        h = tfm.rms_norm(x, layer["rms_mlp"])
+        f = layer["w_gate_up"].shape[-1] // 2
+        gu = h @ layer["w_gate_up"]
+        gated = jax.nn.silu(gu[..., :f]) * gu[..., f:]
+        return x + gated @ layer["w_down"]
+    return tfm._mlp_block(layer, x)
+
+
 @functools.partial(
     jax.jit, static_argnums=(0,), static_argnames=("n_splits", "interpret")
 )
@@ -279,9 +327,7 @@ def decode_step(
     for i in range(cfg.n_layers):
         layer = jax.tree.map(lambda p: p[i], params["layers"])
         h = tfm.rms_norm(x, layer["rms_attn"])
-        q = (h @ layer["wq"]).reshape(b, 1, cfg.n_heads, cfg.d_head)
-        k = (h @ layer["wk"]).reshape(b, 1, cfg.n_kv_heads, cfg.d_head)
-        v = (h @ layer["wv"]).reshape(b, 1, cfg.n_kv_heads, cfg.d_head)
+        q, k, v = _qkv(cfg, layer, h, b, 1)
         q = tfm.apply_rope(q, sin, cos)
         k = tfm.apply_rope(k, sin, cos)
 
@@ -304,7 +350,7 @@ def decode_step(
                 new_lengths, n_splits=n_splits, interpret=interpret,
             )
         x = x + (o.reshape(b, 1, cfg.q_dim) @ layer["wo"])
-        x = tfm._mlp_block(layer, x)
+        x = _mlp(layer, x)
 
     x = tfm.rms_norm(x, params["rms_final"])
     logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
@@ -329,6 +375,7 @@ def generate(
     max_len = max_len or (t + max_new_tokens)
     cache = init_cache(cfg, b, max_len, quantized=quantized_cache)
     logits, cache = prefill(cfg, params, prompt, cache, interpret=interpret)
+    dec_params = fuse_decode_params(cfg, params)
 
     tokens = [prompt]
     cur = _sample(logits, temperature, key, 0)
@@ -337,7 +384,7 @@ def generate(
         if step == max_new_tokens - 1:
             break
         logits, cache = decode_step(
-            cfg, params, cur, cache, n_splits=n_splits, interpret=interpret
+            cfg, dec_params, cur, cache, n_splits=n_splits, interpret=interpret
         )
         cur = _sample(logits, temperature, key, step + 1)
     return jnp.concatenate(tokens, axis=1)

@@ -72,6 +72,7 @@ class Scheduler:
         self._prefill_1 = functools.partial(
             engine.prefill, cfg, interpret=interpret
         )
+        self._decode_params = engine.fuse_decode_params(cfg, params)
         self._decode = functools.partial(
             engine.decode_step, cfg, n_splits=n_splits, interpret=interpret
         )
@@ -154,7 +155,7 @@ class Scheduler:
         if not self.core.active():
             return
         logits, self.cache = self._decode(
-            self.params, jnp.asarray(self.cur_tokens), self.cache
+            self._decode_params, jnp.asarray(self.cur_tokens), self.cache
         )
         nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         for i, req in enumerate(self.slots):
