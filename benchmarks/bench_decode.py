@@ -49,6 +49,7 @@ def main():
         jnp.int32,
     )
     _, cache = engine.prefill(cfg, params, prompt, cache)
+    params = engine.fuse_decode_params(cfg, params)
     tok0 = jnp.zeros((b,), jnp.int32)
 
     @jax.jit
