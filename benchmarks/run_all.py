@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_benches(quick: bool):
+def build_benches(quick: bool, long: bool = False):
     import jax.numpy as jnp
     from flashattention_kernel_project_tpu import ops
     from flashattention_kernel_project_tpu.utils.benchmarking import benchmark_chained
@@ -96,8 +96,9 @@ def build_benches(quick: bool):
         (q, k, v), flops=4 * B * H * N * N * D)
 
     # BASELINE.md tracks attention-fwd vs roofline at d in {64,128} and
-    # seq 4K-32K — the long-seq sweep and the d=64 point:
-    for seq_k in ((8, 16, 32) if not quick else (8,)):
+    # seq 4K-32K — the long-seq sweep (--long: the chained timing programs
+    # at 8K+ take minutes to remote-compile) and the d=64 point:
+    for seq_k in ((8, 16, 32) if long else ()):
         Nl = seq_k * 1024
         ql = jnp.asarray(rng.standard_normal((B, H, Nl, D)), jnp.bfloat16)
         kl = jnp.asarray(rng.standard_normal((B, HKV, Nl, D)), jnp.bfloat16)
@@ -121,12 +122,12 @@ def build_benches(quick: bool):
     lens = jnp.full((DB,), DS, jnp.int32)
     kv_bytes = 2 * DB * HKV * DS * D * 2
     reg("flash_decode_bf16_b8_s8192",
-        functools.partial(ops.flash_decode, n_splits=8),
+        ops.flash_decode,
         (qd, kc, vc, lens), bytes_accessed=kv_bytes,
         flops=4 * DB * H * DS * D)
     kq, ks, vq, vs = ops.quantize_kv(kc, vc)
     reg("flash_decode_int8_b8_s8192",
-        functools.partial(ops.flash_decode_int8, n_splits=8),
+        ops.flash_decode_int8,
         (qd, kq, ks, vq, vs, lens), bytes_accessed=kv_bytes // 2,
         flops=4 * DB * H * DS * D)
 
@@ -136,6 +137,8 @@ def build_benches(quick: bool):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--long", action="store_true",
+                    help="include the seq 8k/16k/32k attention rungs")
     ap.add_argument("--only", default=None)
     ap.add_argument(
         "--trace", default=None, metavar="SUBSTR",
@@ -144,7 +147,7 @@ def main():
     )
     args = ap.parse_args()
 
-    benches, benchmark_chained = build_benches(args.quick)
+    benches, benchmark_chained = build_benches(args.quick, args.long)
     if args.trace:
         from flashattention_kernel_project_tpu.utils.benchmarking import (
             capture_trace,
@@ -178,6 +181,12 @@ def main():
         except Exception as e:  # noqa: BLE001 — keep the suite running
             print(f"{b['name']}: FAILED {type(e).__name__}: {e}", flush=True)
             results.append(dict(name=b["name"], error=str(e)))
+            if "UNAVAILABLE" in str(e):
+                # the TPU worker restarts after a crash; give it time so the
+                # remaining rungs don't fail in a cascade
+                import time as _time
+
+                _time.sleep(45)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
     with open(out, "w") as f:

@@ -57,7 +57,11 @@ def softmax(
     n = orig_shape[-1]
     x2 = x.reshape(-1, n)
     rows = x2.shape[0]
-    block_rows = min(block_rows, rows)
+    # VMEM budget: double-buffered in + out blocks plus f32 temps is ~6
+    # live copies of the block; keep that under ~14 MB of the 16 MB VMEM
+    # (a 256-row block at n=4096 f32 OOMed the scoped allocator at 19.8 MB)
+    cap = max(8, (14 * 2**20) // (6 * 4 * n) // 8 * 8)
+    block_rows = min(block_rows, rows, cap)
     pad = (-rows) % block_rows
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
