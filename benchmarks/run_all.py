@@ -140,12 +140,22 @@ def main():
     ap.add_argument("--long", action="store_true",
                     help="include the seq 8k/16k/32k attention rungs")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--out", default=None, help="results json path")
+    ap.add_argument(
+        "--isolated", action="store_true",
+        help="run each rung in a fresh subprocess: a TPU-worker crash kills "
+             "the in-process PJRT client permanently, so only process "
+             "isolation lets the remaining rungs survive",
+    )
     ap.add_argument(
         "--trace", default=None, metavar="SUBSTR",
         help="capture a jax.profiler trace of the matching rung instead of "
              "timing it (the reference's per-file ncu recipe, section 5.1)",
     )
     args = ap.parse_args()
+
+    if args.isolated:
+        return run_isolated(args)
 
     benches, benchmark_chained = build_benches(args.quick, args.long)
     if args.trace:
@@ -181,14 +191,54 @@ def main():
         except Exception as e:  # noqa: BLE001 — keep the suite running
             print(f"{b['name']}: FAILED {type(e).__name__}: {e}", flush=True)
             results.append(dict(name=b["name"], error=str(e)))
-            if "UNAVAILABLE" in str(e):
-                # the TPU worker restarts after a crash; give it time so the
-                # remaining rungs don't fail in a cascade
-                import time as _time
 
-                _time.sleep(45)
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results.json"
+    )
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}")
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results.json")
+
+def run_isolated(args):
+    import subprocess
+    import tempfile
+    import time
+
+    # the parent only needs rung NAMES — build them on CPU so the parent
+    # never owns the TPU (the children need it exclusively)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    names = [b["name"] for b in build_benches(args.quick, args.long)[0]]
+    if args.only:
+        names = [n for n in names if args.only in n]
+    results = []
+    me = os.path.abspath(__file__)
+    for name in names:
+        with tempfile.NamedTemporaryFile(suffix=".json") as tf:
+            cmd = [sys.executable, me, "--only", name, "--out", tf.name]
+            if args.quick:
+                cmd.append("--quick")
+            if args.long:
+                cmd.append("--long")
+            for attempt in range(2):
+                proc = subprocess.run(cmd, capture_output=True, text=True,
+                                      timeout=3000)
+                sys.stdout.write(proc.stdout.rsplit("wrote ", 1)[0])
+                sys.stdout.flush()
+                try:
+                    got = json.load(open(tf.name))
+                except (json.JSONDecodeError, OSError):
+                    got = [dict(name=name, error="subprocess died")]
+                if got and "error" in got[0] and attempt == 0:
+                    time.sleep(60)  # worker restart window, then retry once
+                    continue
+                break
+            results.extend(got)
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results.json"
+    )
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")

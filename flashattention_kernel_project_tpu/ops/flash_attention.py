@@ -23,9 +23,14 @@ TPU design (NOT a translation):
     (flashattn_forward_wmma_v5_cp_async.cu:114); we mask instead;
   * fully-masked KV blocks are skipped with pl.when (compute-side skip).
 
-The backward pass is a blockwise recompute (FlashAttention-2 style) in plain
-JAX under lax.scan — correct and memory-linear; a Pallas backward kernel is a
-later optimization.
+The backward pass is two Pallas kernels (FlashAttention-2 recompute from the
+saved logsumexp): KV-stationary dk/dv with the GQA group-sum riding the
+innermost grid axis, and Q-stationary dq — see _bwd_pallas. A plain-JAX
+blockwise reference (_bwd_reference) remains as the executable spec.
+
+Both directions run their softmax in the log2 domain: the wrapper folds
+sm_scale * log2(e) into q, exp becomes exp2 (no range-reduction multiply per
+score element), and the emitted lse is converted back to natural log.
 """
 
 from __future__ import annotations
