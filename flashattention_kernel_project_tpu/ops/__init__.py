@@ -36,3 +36,8 @@ from flashattention_kernel_project_tpu.ops.quant import (  # noqa: F401
     quantize_kv,
     matmul_int8_weights,
 )
+from flashattention_kernel_project_tpu.ops.paged_decode import (  # noqa: F401,E402
+    PagePool,
+    paged_append,
+    paged_flash_decode,
+)

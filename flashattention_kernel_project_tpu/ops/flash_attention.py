@@ -59,6 +59,8 @@ def _auto_blocks(block_q, block_k, d):
     if block_k is None:
         block_k = 1024
     return block_q, block_k
+
+
 _LANES = 128  # VPU lane width; m/l scratch is lane-broadcast for alignment
 _LOG2E = 1.4426950408889634  # log2(e): fwd softmax runs in the log2 domain
 _LN2 = 0.6931471805599453
@@ -82,11 +84,11 @@ def _fwd_kernel(
     block_k: int,
     num_sub: int,
     pipeline_subs: bool,
-    score_bf16: bool = False,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
-    score_t = jnp.bfloat16 if score_bf16 else jnp.float32
+    # NOTE: bf16 score tiles were tried and are impossible — Mosaic requires
+    # 32-bit matmul accumulators ("Expected matmul acc to be 32-bit").
     # scores arrive in the log2 domain (wrapper folds sm_scale * log2(e) into
     # q): exp(s_nat - m_nat) == exp2(s - m), skipping exp's internal
     # x*log2e range-reduction multiply on every score element.
@@ -130,7 +132,7 @@ def _fwd_kernel(
                 q,
                 k[i * sub : (i + 1) * sub],
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=score_t,
+                preferred_element_type=jnp.float32,
                 precision=_precision(q.dtype),
             )
             for i in range(num_sub)
@@ -272,7 +274,6 @@ def _fwd(
     interpret: bool | None,
     num_sub: int = 1,
     pipeline_subs: bool = True,
-    score_bf16: bool = False,
 ):
     if interpret is None:
         interpret = default_interpret()
@@ -313,7 +314,6 @@ def _fwd(
         block_k=block_k,
         num_sub=num_sub,
         pipeline_subs=pipeline_subs,
-        score_bf16=score_bf16,
     )
     out, lse = pl.pallas_call(
         kernel,

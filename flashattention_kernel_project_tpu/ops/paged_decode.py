@@ -1,0 +1,248 @@
+"""Paged-KV decode: split-KV flash decode over a block-table KV cache.
+
+The linear cache (ops/flash_decode.py) wastes HBM on padded tails and
+fragments under continuous batching; the production fix is vLLM-style
+paging: KV lives in fixed-size pages owned by a pool, each sequence holds a
+block table of page indices. TPU-natively the block table rides the
+kernel's SCALAR-PREFETCH channel (pltpu.PrefetchScalarGridSpec): the page
+index feeds the K/V BlockSpec index_map, so the pipeline DMA fetches
+exactly the pages the sequence owns — the reference's cp.async gather
+(flashattn_forward_wmma_v5_cp_async.cu:229-251) with the indirection moved
+into the grid machinery.
+
+Math is identical to flash_decode: per-page (m, l, y) online-softmax carry
+in VMEM scratch (the associative streaming discipline,
+flashattn_streaming_16x16.cu:15-24), pages beyond a sequence's length are
+compute-skipped with pl.when.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flashattention_kernel_project_tpu.ops.softmax import NEG_INF
+from flashattention_kernel_project_tpu.utils.platform import default_interpret
+
+_LOG2E = 1.4426950408889634
+
+
+def _paged_decode_kernel(
+    table_ref,  # scalar-prefetch [B, max_pages] int32 page ids
+    len_ref,    # scalar-prefetch [B] int32 sequence lengths
+    q_ref,      # [1, 1, GP, D]
+    k_ref,      # [1, 1, page, D] — page selected by the index map
+    v_ref,
+    o_ref,      # [1, 1, GP, D] f32
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    page_size: int,
+    max_pages: int,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    length = len_ref[b]
+
+    @pl.when(p == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # page p covers tokens [p*page_size, (p+1)*page_size)
+    live = p * page_size < length
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]            # [GP, D], sm_scale*log2e pre-folded
+        k = k_ref[0, 0]            # [page, D]
+        v = v_ref[0, 0]
+        gp = q.shape[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # tail mask within the last live page
+        col = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (gp, page_size), 1
+        )
+        s = jnp.where(col < length, s, NEG_INF)
+        m_prev = m_scr[:]
+        m_tile = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_tile)
+        scale = jnp.exp2(m_prev - m_next)
+        e = jnp.exp2((s - m_next[:, :1]).astype(v.dtype))
+        # rows always have token 0 visible (length >= 1 when live), so the
+        # running max is finite and masked lanes exp2-flush to exactly 0
+        l_scr[:] = l_scr[:] * scale + jnp.sum(
+            e, axis=-1, keepdims=True, dtype=jnp.float32
+        )
+        pv = jax.lax.dot_general(
+            e, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * scale[:, :1] + pv
+        m_scr[:] = m_next
+
+    @pl.when(p == max_pages - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "interpret")
+)
+def paged_flash_decode(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    block_table: jax.Array,
+    lengths: jax.Array,
+    *,
+    sm_scale: float | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Single-token GQA decode against a paged KV cache.
+
+    Args:
+      q: [B, Hq, D] — one new token per sequence.
+      k_pages, v_pages: [n_pages, Hkv, page_size, D] — the page pool.
+      block_table: [B, max_pages] int32 — page ids per sequence, in order;
+        entries past a sequence's pages must still be VALID ids (e.g. 0);
+        their compute is skipped via `lengths`.
+      lengths: [B] int32 — valid tokens per sequence.
+
+    Returns [B, Hq, D] in q.dtype.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    b, hq, d = q.shape
+    n_pages, hkv, page_size, _ = k_pages.shape
+    max_pages = block_table.shape[1]
+    g = hq // hkv
+    gp = max(8, g)
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+
+    qg = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+    qg = qg.reshape(b, hkv, g, d)
+    if gp != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+
+    kernel = functools.partial(
+        _paged_decode_kernel, page_size=page_size, max_pages=max_pages
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, gp, d), lambda bb, h, p, tbl, ln: (bb, h, 0, 0)),
+            # the page index comes from the prefetched block table
+            pl.BlockSpec(
+                (1, 1, page_size, d),
+                lambda bb, h, p, tbl, ln: (tbl[bb, p], h, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, page_size, d),
+                lambda bb, h, p, tbl, ln: (tbl[bb, p], h, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, gp, d), lambda bb, h, p, tbl, ln: (bb, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((gp, 128), jnp.float32),
+            pltpu.VMEM((gp, 128), jnp.float32),
+            pltpu.VMEM((gp, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, gp, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        block_table.astype(jnp.int32),
+        lengths.astype(jnp.int32),
+        qg, k_pages, v_pages,
+    )
+    return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)
+
+
+def paged_append(
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    k_new: jax.Array,   # [B, Hkv, D]
+    v_new: jax.Array,
+    block_table: jax.Array,  # [B, max_pages]
+    lengths: jax.Array,      # [B] length BEFORE the append
+) -> tuple[jax.Array, jax.Array]:
+    """Append one token per sequence into its current page (the page must
+    already be allocated by the PagePool). Pure-XLA scatter; donation keeps
+    it in place under jit."""
+    page_size = k_pages.shape[2]
+    page_slot = lengths // page_size          # which entry of the table
+    offset = lengths % page_size              # position within the page
+    b = k_new.shape[0]
+    page_ids = jnp.take_along_axis(
+        block_table, page_slot[:, None], axis=1
+    )[:, 0]
+
+    def write(pages, new):
+        def one(pages, pid, off, val):
+            return jax.lax.dynamic_update_slice(
+                pages, val[None, :, None].astype(pages.dtype),
+                (pid, 0, off, 0),
+            )
+
+        for i in range(b):  # unrolled: per-slot dynamic_update_slice
+            pages = one(pages, page_ids[i], offset[i], new[i])
+        return pages
+
+    return write(k_pages, k_new), write(v_pages, v_new)
+
+
+class PagePool:
+    """Host-side page allocator for the paged KV cache (free-list).
+
+    The device arrays are externally owned; the pool only hands out page
+    ids. Page 0 is reserved as the junk page that padding table entries
+    point at (the kernel never reads it for live tokens)."""
+
+    def __init__(self, n_pages: int):
+        assert n_pages >= 2
+        self.n_pages = n_pages
+        self._free = list(range(n_pages - 1, 0, -1))  # page 0 reserved
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> list[int]:
+        if n > len(self._free):
+            raise MemoryError(
+                f"page pool exhausted: want {n}, have {len(self._free)}"
+            )
+        return [self._free.pop() for _ in range(n)]
+
+    def free(self, pages: list[int]) -> None:
+        for p in pages:
+            if p != 0:
+                self._free.append(p)
+
+    def table_for(self, pages: list[int], max_pages: int) -> np.ndarray:
+        t = np.zeros(max_pages, np.int32)
+        t[: len(pages)] = pages
+        return t

@@ -1,0 +1,135 @@
+"""Paged-KV decode (block tables via scalar prefetch) vs the linear oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from flashattention_kernel_project_tpu import ops
+from flashattention_kernel_project_tpu.utils import oracles
+from flashattention_kernel_project_tpu.utils.testing import assert_rel_l2
+
+
+def _paged_from_linear(k_lin, v_lin, page_size, pool, max_pages, n_pages):
+    """Scatter linear [B,Hkv,S,D] caches into pages; returns pages + tables."""
+    b, hkv, s, d = k_lin.shape
+    k_pages = np.zeros((n_pages, hkv, page_size, d), k_lin.dtype)
+    v_pages = np.zeros_like(k_pages)
+    tables = np.zeros((b, max_pages), np.int32)
+    for i in range(b):
+        n_needed = -(-s // page_size)
+        pages = pool.alloc(n_needed)
+        tables[i] = pool.table_for(pages, max_pages)
+        for j, pid in enumerate(pages):
+            lo = j * page_size
+            hi = min(lo + page_size, s)
+            k_pages[pid, :, : hi - lo] = k_lin[i, :, lo:hi]
+            v_pages[pid, :, : hi - lo] = v_lin[i, :, lo:hi]
+    return k_pages, v_pages, tables
+
+
+def test_paged_decode_matches_oracle(rng):
+    b, hq, hkv, s, d, page = 3, 8, 2, 640, 64, 128
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    lengths = np.array([640, 333, 1], np.int32)
+
+    pool = ops.PagePool(32)
+    kp, vp, tables = _paged_from_linear(k, v, page, pool, 8, 32)
+    got = ops.paged_flash_decode(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+        jnp.asarray(tables), jnp.asarray(lengths),
+    )
+    for i in range(b):
+        exp = oracles.gqa_attention(
+            q[i : i + 1, :, None],
+            k[i : i + 1, :, : lengths[i]],
+            v[i : i + 1, :, : lengths[i]],
+            causal=False,
+        )[:, :, 0]
+        assert_rel_l2(np.asarray(got)[i : i + 1], exp, tol=1e-2)
+
+
+def test_paged_decode_shuffled_pages(rng):
+    """Pages deliberately allocated out of order: the block table is the
+    only thing holding sequence order."""
+    b, hq, hkv, s, d, page = 2, 4, 2, 384, 32, 128
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    lengths = np.array([384, 200], np.int32)
+
+    n_pages = 16
+    k_pages = np.zeros((n_pages, hkv, page, d), np.float32)
+    v_pages = np.zeros_like(k_pages)
+    # scrambled page ids
+    ids = [[7, 3, 11], [12, 5, 9]]
+    tables = np.zeros((b, 4), np.int32)
+    for i in range(b):
+        tables[i, :3] = ids[i]
+        for j, pid in enumerate(ids[i]):
+            lo = j * page
+            k_pages[pid, :, : min(page, s - lo)] = k[i, :, lo : lo + page]
+            v_pages[pid, :, : min(page, s - lo)] = v[i, :, lo : lo + page]
+    got = ops.paged_flash_decode(
+        jnp.asarray(q), jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(tables), jnp.asarray(lengths),
+    )
+    for i in range(b):
+        exp = oracles.gqa_attention(
+            q[i : i + 1, :, None],
+            k[i : i + 1, :, : lengths[i]],
+            v[i : i + 1, :, : lengths[i]],
+            causal=False,
+        )[:, :, 0]
+        assert_rel_l2(np.asarray(got)[i : i + 1], exp, tol=1e-2)
+
+
+def test_paged_append_then_decode(rng):
+    """Token-by-token appends through paged_append reproduce the linear
+    cache decode exactly."""
+    b, hq, hkv, d, page = 2, 4, 2, 32, 128
+    steps = 130  # crosses a page boundary
+    pool = ops.PagePool(16)
+    n_pages = 16
+    k_pages = jnp.zeros((n_pages, hkv, page, d), jnp.float32)
+    v_pages = jnp.zeros_like(k_pages)
+    tables = np.zeros((b, 4), np.int32)
+    pages = [pool.alloc(2) for _ in range(b)]
+    for i in range(b):
+        tables[i, :2] = pages[i]
+    k_lin = np.zeros((b, hkv, steps, d), np.float32)
+    v_lin = np.zeros_like(k_lin)
+    lengths = np.zeros((b,), np.int32)
+    for t in range(steps):
+        k_new = rng.standard_normal((b, hkv, d), dtype=np.float32)
+        v_new = rng.standard_normal((b, hkv, d), dtype=np.float32)
+        k_lin[:, :, t] = k_new
+        v_lin[:, :, t] = v_new
+        k_pages, v_pages = ops.paged_append(
+            k_pages, v_pages, jnp.asarray(k_new), jnp.asarray(v_new),
+            jnp.asarray(tables), jnp.asarray(lengths),
+        )
+        lengths += 1
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    got = ops.paged_flash_decode(
+        jnp.asarray(q), k_pages, v_pages, jnp.asarray(tables),
+        jnp.asarray(lengths),
+    )
+    exp_all = ops.flash_decode(
+        jnp.asarray(q), jnp.asarray(k_lin), jnp.asarray(v_lin),
+        jnp.asarray(lengths),
+    )
+    assert_rel_l2(np.asarray(got), np.asarray(exp_all), tol=1e-3)
+
+
+def test_page_pool():
+    pool = ops.PagePool(8)
+    a = pool.alloc(3)
+    assert len(set(a)) == 3 and 0 not in a
+    assert pool.free_pages == 4
+    pool.free(a)
+    assert pool.free_pages == 7
+    with pytest.raises(MemoryError):
+        pool.alloc(100)
