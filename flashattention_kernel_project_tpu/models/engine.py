@@ -395,3 +395,128 @@ def _sample(logits, temperature, key, step):
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     k = jax.random.fold_in(key, step)
     return jax.random.categorical(k, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Paged-cache decode (vLLM-style): the fragmentation-free serving backend.
+# Pages + block tables replace the per-slot padded linear cache; decode
+# attends through ops.paged_flash_decode (block table on the scalar-prefetch
+# channel). Prefill still runs through the linear path; its KV is scattered
+# into pages with paged_insert.
+# ---------------------------------------------------------------------------
+
+class PagedKVCache(NamedTuple):
+    """k_pages/v_pages: tuple of L arrays [n_pages, Hkv, page, D];
+    block_tables: [B, max_pages] int32 (shared across layers — pages are
+    allocated per sequence, each layer owns a same-shaped pool);
+    lengths: [B] int32."""
+
+    k_pages: tuple
+    v_pages: tuple
+    block_tables: jax.Array
+    lengths: jax.Array
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages[0].shape[2]
+
+
+def init_paged_cache(
+    cfg: tfm.TransformerConfig,
+    batch: int,
+    n_pages: int,
+    *,
+    page_size: int = 128,
+    max_pages_per_seq: int = 16,
+) -> PagedKVCache:
+    shape = (n_pages, cfg.n_kv_heads, page_size, cfg.d_head)
+    L = cfg.n_layers
+    return PagedKVCache(
+        k_pages=tuple(jnp.zeros(shape, cfg.dtype) for _ in range(L)),
+        v_pages=tuple(jnp.zeros(shape, cfg.dtype) for _ in range(L)),
+        block_tables=jnp.zeros((batch, max_pages_per_seq), jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def paged_insert(
+    cache: PagedKVCache,
+    slot: int,
+    table_row: jax.Array,   # [max_pages] int32 page ids for this sequence
+    k_seq: tuple,           # per-layer [Hkv, T, D] prefix KV
+    v_seq: tuple,
+    length: int,
+) -> PagedKVCache:
+    """Scatter a sequence's prefix KV (from a linear prefill) into its
+    allocated pages and install the block table at `slot`."""
+    page = cache.page_size
+    n_full = -(-int(length) // page)
+    k_pages = list(cache.k_pages)
+    v_pages = list(cache.v_pages)
+    for li in range(len(k_pages)):
+        kp, vp = k_pages[li], v_pages[li]
+        for j in range(n_full):
+            lo = j * page
+            hi = min(lo + page, int(length))
+            blk_k = jnp.zeros((kp.shape[1], page, kp.shape[3]), kp.dtype)
+            blk_k = blk_k.at[:, : hi - lo].set(k_seq[li][:, lo:hi].astype(kp.dtype))
+            blk_v = jnp.zeros_like(blk_k)
+            blk_v = blk_v.at[:, : hi - lo].set(v_seq[li][:, lo:hi].astype(vp.dtype))
+            kp = jax.lax.dynamic_update_slice(
+                kp, blk_k[None], (table_row[j], 0, 0, 0)
+            )
+            vp = jax.lax.dynamic_update_slice(
+                vp, blk_v[None], (table_row[j], 0, 0, 0)
+            )
+        k_pages[li], v_pages[li] = kp, vp
+    tables = cache.block_tables.at[slot].set(table_row)
+    lengths = cache.lengths.at[slot].set(length)
+    return PagedKVCache(tuple(k_pages), tuple(v_pages), tables, lengths)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+def decode_step_paged(
+    cfg: tfm.TransformerConfig,
+    params: dict,
+    tokens: jax.Array,
+    cache: PagedKVCache,
+    *,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, PagedKVCache]:
+    """One decode step against the paged cache. tokens [B] -> (logits, cache).
+    Slots with length 0 are masked out (zero attention output)."""
+    from flashattention_kernel_project_tpu.ops.paged_decode import (
+        paged_append,
+        paged_flash_decode,
+    )
+
+    b = tokens.shape[0]
+    x = params["embed"][tokens][:, None]
+    sin, cos = tfm.rope_tables(cfg, cache.lengths[:, None])
+    k_pages = list(cache.k_pages)
+    v_pages = list(cache.v_pages)
+    new_lengths = cache.lengths + 1
+    for i in range(cfg.n_layers):
+        layer = jax.tree.map(lambda p: p[i], params["layers"])
+        h = tfm.rms_norm(x, layer["rms_attn"])
+        q, k, v = _qkv(cfg, layer, h, b, 1)
+        q = tfm.apply_rope(q, sin, cos)
+        k = tfm.apply_rope(k, sin, cos)
+        k_pages[i], v_pages[i] = paged_append(
+            k_pages[i], v_pages[i],
+            k[:, 0], v[:, 0],
+            cache.block_tables, cache.lengths,
+        )
+        o = paged_flash_decode(
+            q.reshape(b, cfg.n_heads, cfg.d_head).astype(cfg.dtype),
+            k_pages[i], v_pages[i],
+            cache.block_tables, new_lengths,
+            interpret=interpret,
+        )
+        x = x + (o.reshape(b, 1, cfg.q_dim) @ layer["wo"])
+        x = _mlp(layer, x)
+    x = tfm.rms_norm(x, params["rms_final"])
+    logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
+    return logits, PagedKVCache(
+        tuple(k_pages), tuple(v_pages), cache.block_tables, new_lengths
+    )

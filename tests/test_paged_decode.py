@@ -133,3 +133,41 @@ def test_page_pool():
     assert pool.free_pages == 7
     with pytest.raises(MemoryError):
         pool.alloc(100)
+
+
+def test_engine_paged_decode_matches_linear(rng):
+    """Full model: linear-cache decode_step and paged decode_step produce
+    the same logits after identical prefill."""
+    import jax
+    from flashattention_kernel_project_tpu import models
+    from flashattention_kernel_project_tpu.models import engine
+
+    cfg = models.TransformerConfig(
+        vocab_size=128, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_head=16, d_ff=128, dtype=jnp.float32, block_q=32, block_k=32,
+    )
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    b, t = 2, 48
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0, 128)
+
+    lin = engine.init_cache(cfg, b, 256)
+    logits_lin, lin = engine.prefill(cfg, params, prompt, lin)
+
+    pool = ops.PagePool(32)
+    paged = engine.init_paged_cache(cfg, b, 32, page_size=128,
+                                    max_pages_per_seq=4)
+    for i in range(b):
+        pages = pool.alloc(2)  # room to decode past the prefix
+        row = jnp.asarray(pool.table_for(pages, 4))
+        k_seq = tuple(lin.k[li][i] for li in range(cfg.n_layers))
+        v_seq = tuple(lin.v[li][i] for li in range(cfg.n_layers))
+        paged = engine.paged_insert(paged, i, row, k_seq, v_seq, t)
+
+    tok = jnp.argmax(logits_lin, -1).astype(jnp.int32)
+    for step in range(3):
+        l1, lin = engine.decode_step(cfg, params, tok, lin)
+        l2, paged = engine.decode_step_paged(cfg, params, tok, paged)
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=2e-4
+        )
+        tok = jnp.argmax(l1, -1).astype(jnp.int32)
