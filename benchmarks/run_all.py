@@ -223,10 +223,13 @@ def run_isolated(args):
             if args.long:
                 cmd.append("--long")
             for attempt in range(2):
-                proc = subprocess.run(cmd, capture_output=True, text=True,
-                                      timeout=3000)
-                sys.stdout.write(proc.stdout.rsplit("wrote ", 1)[0])
-                sys.stdout.flush()
+                try:
+                    proc = subprocess.run(cmd, capture_output=True, text=True,
+                                          timeout=3000)
+                    sys.stdout.write(proc.stdout.rsplit("wrote ", 1)[0])
+                    sys.stdout.flush()
+                except subprocess.TimeoutExpired:
+                    print(f"{name}: TIMEOUT (3000s)", flush=True)
                 try:
                     got = json.load(open(tf.name))
                 except (json.JSONDecodeError, OSError):

@@ -51,10 +51,11 @@ def save_checkpoint(
         raise RuntimeError("orbax-checkpoint is not available")
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    tree = {"params": params}
+    # params and opt_state are SEPARATE items so a params-only restore (the
+    # serving case) works against a checkpoint written during training
+    ckptr.save(os.path.join(path, "params"), params, force=True)
     if opt_state is not None:
-        tree["opt_state"] = opt_state
-    ckptr.save(os.path.join(path, "state"), tree, force=True)
+        ckptr.save(os.path.join(path, "opt_state"), opt_state, force=True)
     ckptr.wait_until_finished()
     meta = {"step": int(step)}
     if config is not None:
@@ -80,23 +81,22 @@ def restore_checkpoint(
         raise RuntimeError("orbax-checkpoint is not available")
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    template = None
-    if params_template is not None:
-        template = {
-            "params": jax.tree.map(ocp.utils.to_shape_dtype_struct, params_template)
-            if not _is_abstract(params_template)
-            else params_template
-        }
-        if opt_state_template is not None:
-            template["opt_state"] = (
-                jax.tree.map(ocp.utils.to_shape_dtype_struct, opt_state_template)
-                if not _is_abstract(opt_state_template)
-                else opt_state_template
-            )
-    tree = ckptr.restore(os.path.join(path, "state"), template)
-    out = {"params": tree["params"]}
-    if "opt_state" in tree:
-        out["opt_state"] = tree["opt_state"]
+
+    def _template(t):
+        if t is None or _is_abstract(t):
+            return t
+        return jax.tree.map(ocp.utils.to_shape_dtype_struct, t)
+
+    out = {
+        "params": ckptr.restore(
+            os.path.join(path, "params"), _template(params_template)
+        )
+    }
+    opt_dir = os.path.join(path, "opt_state")
+    if os.path.exists(opt_dir):
+        out["opt_state"] = ckptr.restore(
+            opt_dir, _template(opt_state_template)
+        )
     meta_path = os.path.join(path, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:

@@ -439,6 +439,31 @@ def init_paged_cache(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_full", "page", "length"),
+    donate_argnums=(0, 1),
+)
+def _scatter_pages(kp, vp, k_seq, v_seq, table_row, *, n_full, page, length):
+    """Scatter one layer's prefix KV into its pages. Jitted with the pool
+    buffers DONATED: un-jitted dynamic_update_slice would materialize a full
+    pool copy per page (O(layers * pages) multi-GB traffic per insert)."""
+    for j in range(n_full):
+        lo = j * page
+        hi = min(lo + page, length)
+        blk_k = jnp.zeros((kp.shape[1], page, kp.shape[3]), kp.dtype)
+        blk_k = blk_k.at[:, : hi - lo].set(k_seq[:, lo:hi].astype(kp.dtype))
+        blk_v = jnp.zeros_like(blk_k)
+        blk_v = blk_v.at[:, : hi - lo].set(v_seq[:, lo:hi].astype(vp.dtype))
+        kp = jax.lax.dynamic_update_slice(
+            kp, blk_k[None], (table_row[j], 0, 0, 0)
+        )
+        vp = jax.lax.dynamic_update_slice(
+            vp, blk_v[None], (table_row[j], 0, 0, 0)
+        )
+    return kp, vp
+
+
 def paged_insert(
     cache: PagedKVCache,
     slot: int,
@@ -448,27 +473,18 @@ def paged_insert(
     length: int,
 ) -> PagedKVCache:
     """Scatter a sequence's prefix KV (from a linear prefill) into its
-    allocated pages and install the block table at `slot`."""
+    allocated pages and install the block table at `slot`. One jitted,
+    pool-donating scatter per layer (lengths are bucketed by the scheduler,
+    so the per-(T, n_full) compile cost amortizes)."""
     page = cache.page_size
     n_full = -(-int(length) // page)
     k_pages = list(cache.k_pages)
     v_pages = list(cache.v_pages)
     for li in range(len(k_pages)):
-        kp, vp = k_pages[li], v_pages[li]
-        for j in range(n_full):
-            lo = j * page
-            hi = min(lo + page, int(length))
-            blk_k = jnp.zeros((kp.shape[1], page, kp.shape[3]), kp.dtype)
-            blk_k = blk_k.at[:, : hi - lo].set(k_seq[li][:, lo:hi].astype(kp.dtype))
-            blk_v = jnp.zeros_like(blk_k)
-            blk_v = blk_v.at[:, : hi - lo].set(v_seq[li][:, lo:hi].astype(vp.dtype))
-            kp = jax.lax.dynamic_update_slice(
-                kp, blk_k[None], (table_row[j], 0, 0, 0)
-            )
-            vp = jax.lax.dynamic_update_slice(
-                vp, blk_v[None], (table_row[j], 0, 0, 0)
-            )
-        k_pages[li], v_pages[li] = kp, vp
+        k_pages[li], v_pages[li] = _scatter_pages(
+            k_pages[li], v_pages[li], k_seq[li], v_seq[li], table_row,
+            n_full=n_full, page=page, length=int(length),
+        )
     tables = cache.block_tables.at[slot].set(table_row)
     lengths = cache.lengths.at[slot].set(length)
     return PagedKVCache(tuple(k_pages), tuple(v_pages), tables, lengths)

@@ -175,6 +175,7 @@ class Scheduler:
             req.done = True
             self.finished.append(req)
             self.slots[slot] = None
+            self._requests.pop(req.uid, None)
             self.cache = self.cache._replace(
                 lengths=self.cache.lengths.at[slot].set(0)
             )

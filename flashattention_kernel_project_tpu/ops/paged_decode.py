@@ -193,12 +193,20 @@ def paged_append(
     already be allocated by the PagePool). Pure-XLA scatter; donation keeps
     it in place under jit."""
     page_size = k_pages.shape[2]
+    max_pages = block_table.shape[1]
     page_slot = lengths // page_size          # which entry of the table
     offset = lengths % page_size              # position within the page
     b = k_new.shape[0]
     page_ids = jnp.take_along_axis(
-        block_table, page_slot[:, None], axis=1
+        block_table, jnp.clip(page_slot, 0, max_pages - 1)[:, None], axis=1
     )[:, 0]
+    # capacity guard: a sequence past its table's capacity would otherwise
+    # silently overwrite ITS OWN last page (take_along_axis clamps). Redirect
+    # overflow writes to the reserved junk page 0 instead — the decode output
+    # for that sequence is already truncated (the kernel attends max_pages
+    # pages) and the host-side scheduler is responsible for never letting a
+    # sequence outgrow its allocation; this keeps the failure contained.
+    page_ids = jnp.where(page_slot >= max_pages, 0, page_ids)
 
     def write(pages, new):
         def one(pages, pid, off, val):

@@ -201,7 +201,8 @@ class BatchSchedulerCore:
     def bucket(self, n: int) -> int:
         if self._lib is not None:
             return int(self._lib.cbs_bucket(self._h, n))
-        return max(self.granule, -(-n // self.granule) * self.granule)
+        b = max(self.granule, -(-n // self.granule) * self.granule)
+        return min(b, self.max_len)
 
     def submit(self, prompt_len: int, max_new: int) -> int:
         """Queue a request; returns uid or -1 if it can never fit."""

@@ -41,7 +41,11 @@ struct Core {
 int32_t bucket_of(const Core& c, int32_t n) {
   int32_t g = c.granule;
   int32_t b = (n + g - 1) / g * g;
-  return b < g ? g : b;
+  if (b < g) b = g;
+  // never bucket past the cache capacity: a 1024-bucket splice into a
+  // max_len=1000 cache is an out-of-bounds update on the device
+  if (b > c.max_len) b = c.max_len;
+  return b;
 }
 
 }  // namespace

@@ -105,12 +105,16 @@ def benchmark_chained(
 
     n1, n2 = n_pair
     np.asarray(jax.tree.leaves(run(1, *args))[0])  # compile + warm
-    # pilot: estimate per-iter time, then size n2 to bury the jitter
+    # pilot: estimate per-iter time, then size n2 to bury the jitter.
+    # Tunnel jitter can make the pilot delta zero/negative; in that case the
+    # estimate is meaningless, so cap the growth at 100x the requested span
+    # instead of inflating n2 toward min_delta_s / 1e-7 (a multi-hour hang).
     pilot = measure(n2, r=2) - measure(n1, r=2)
-    per_iter_est = max(pilot / (n2 - n1), 1e-7)
-    need = int(min_delta_s / per_iter_est)
-    if need > n2 - n1:
-        n2 = n1 + need
+    span = n2 - n1
+    if pilot > 0:
+        need = min(int(min_delta_s / (pilot / span)), 100 * span)
+        if need > span:
+            n2 = n1 + need
 
     times = {n: measure(n) for n in (n1, n2)}
     per_iter_ms = 1e3 * (times[n2] - times[n1]) / (n2 - n1)

@@ -39,21 +39,32 @@ def device_healthcheck(timeout_s: float = 30.0) -> dict:
     `jax.block_until_ready` can lie over remote-dispatch paths, so the probe
     forces a host fetch (np.asarray) — the only trustworthy completion
     signal (docs/perf_journal.md)."""
+    import concurrent.futures
     import numpy as np
 
     t0 = time.perf_counter()
-    try:
+
+    def _probe():
         import jax
         import jax.numpy as jnp
 
         dev = jax.devices()[0]
         x = jnp.ones((128, 128), jnp.float32)
         got = float(np.asarray(jnp.dot(x, x).sum()))
-        ok = abs(got - 128.0 * 128 * 128) < 1.0
+        return abs(got - 128.0 * 128 * 128) < 1.0, str(dev)
+
+    # a wedged device is exactly what we probe for — run the dispatch on a
+    # worker thread so the deadline is enforced even if it never returns
+    ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        ok, dev = ex.submit(_probe).result(timeout=timeout_s)
+        return {"ok": ok, "latency_s": time.perf_counter() - t0, "device": dev}
+    except concurrent.futures.TimeoutError:
         return {
-            "ok": ok,
+            "ok": False,
             "latency_s": time.perf_counter() - t0,
-            "device": str(dev),
+            "device": "unknown",
+            "error": f"healthcheck exceeded {timeout_s}s (device wedged?)",
         }
     except Exception as e:  # noqa: BLE001 - a probe must not raise
         return {
@@ -62,6 +73,8 @@ def device_healthcheck(timeout_s: float = 30.0) -> dict:
             "device": "unknown",
             "error": f"{type(e).__name__}: {e}",
         }
+    finally:
+        ex.shutdown(wait=False)
 
 
 def with_retries(

@@ -61,3 +61,18 @@ def test_checkpoint_restore_sharded(tmp_path, cfg):
     assert isinstance(leaf.sharding, jax.sharding.NamedSharding)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_params_only_restore_from_training_checkpoint(tmp_path, cfg):
+    """The serving case: restore ONLY params from a checkpoint that was
+    saved with optimizer state (regression: a single-item tree made this a
+    structure mismatch)."""
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    opt_state = optax.adam(1e-3).init(params)
+    path = models.save_checkpoint(
+        str(tmp_path / "ck"), params, step=5, opt_state=opt_state
+    )
+    got = models.restore_checkpoint(path, params_template=params)
+    assert "opt_state" in got  # present on disk -> still returned
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(got["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -88,3 +88,19 @@ def test_scheduler_core_bucketing():
     assert core.bucket(64) == 64
     assert core.bucket(65) == 128
     assert core.bucket(1000) == 1024
+
+
+def test_scheduler_core_bucket_capped_at_max_len():
+    """Regression: a 990-token prompt in a max_len=1000 cache must bucket to
+    1000, not 1024 (an oversized bucket is an out-of-bounds cache splice)."""
+    from flashattention_kernel_project_tpu.runtime import native
+
+    for force_py in (False, True):
+        core = native.BatchSchedulerCore(2, 1000, granule=64)
+        if force_py:
+            core._lib = None
+            core._slots = [None] * 2
+            core._pending = []
+            core._next_uid = 0
+        assert core.bucket(990) == 1000
+        assert core.bucket(3) == 64
