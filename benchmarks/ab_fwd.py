@@ -13,7 +13,10 @@ seq, d, heads, kv_heads, min_delta_s. Prints one RESULT line per variant.
 
 import ast
 import functools
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -7,8 +7,12 @@ production defaults recorded in docs/perf_journal.md.
 
 import argparse
 import functools
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -432,6 +432,8 @@ def generate(
     int8_weights: bool = False,
     n_splits: int | None = None,
     temperature: float = 0.0,
+    top_k: int | None = None,
+    top_p: float | None = None,
     key: jax.Array | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -445,7 +447,7 @@ def generate(
         dec_params = quantize_decode_params(cfg, dec_params)
 
     tokens = [prompt]
-    cur = _sample(logits, temperature, key, 0)
+    cur = _sample(logits, temperature, key, 0, top_k, top_p)
     for step in range(max_new_tokens):
         tokens.append(cur[:, None])
         if step == max_new_tokens - 1:
@@ -453,15 +455,31 @@ def generate(
         logits, cache = decode_step(
             cfg, dec_params, cur, cache, n_splits=n_splits, interpret=interpret
         )
-        cur = _sample(logits, temperature, key, step + 1)
+        cur = _sample(logits, temperature, key, step + 1, top_k, top_p)
     return jnp.concatenate(tokens, axis=1)
 
 
-def _sample(logits, temperature, key, step):
+def _sample(logits, temperature, key, step, top_k=None, top_p=None):
+    """Greedy / temperature / top-k / nucleus sampling. logits [B, V]."""
     if temperature <= 0.0 or key is None:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_k is not None and 0 < top_k < logits.shape[-1]:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None and 0.0 < top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest prefix with cumulative prob >= top_p (always
+        # keeps the argmax: cum >= p first becomes true ON the boundary row)
+        keep = cum - probs < top_p
+        cutoff = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     k = jax.random.fold_in(key, step)
-    return jax.random.categorical(k, logits / temperature, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------

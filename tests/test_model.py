@@ -110,6 +110,33 @@ def test_generate_int8_weights(params):
     assert np.asarray(out)[:, :6].tolist() == np.asarray(prompt).tolist()
 
 
+def test_sampling_top_k_top_p():
+    """top-k keeps only the k best tokens; top-p keeps the smallest nucleus
+    (and always contains the argmax)."""
+    from flashattention_kernel_project_tpu.models.engine import _sample
+
+    logits = jnp.log(jnp.asarray([[0.5, 0.3, 0.15, 0.05]], jnp.float32))
+    key = jax.random.PRNGKey(0)
+    # top_k=2: only tokens {0, 1} can appear
+    draws = {
+        int(_sample(logits, 1.0, jax.random.fold_in(key, i), i, top_k=2)[0])
+        for i in range(64)
+    }
+    assert draws <= {0, 1} and len(draws) == 2
+    # top_p=0.6: nucleus is {0, 1} (0.5 < 0.6 <= 0.8)
+    draws_p = {
+        int(_sample(logits, 1.0, jax.random.fold_in(key, i), i, top_p=0.6)[0])
+        for i in range(64)
+    }
+    assert draws_p <= {0, 1} and len(draws_p) == 2
+    # top_p tiny: degenerates to greedy (argmax always kept)
+    draws_g = {
+        int(_sample(logits, 1.0, jax.random.fold_in(key, i), i, top_p=1e-6)[0])
+        for i in range(16)
+    }
+    assert draws_g == {0}
+
+
 def test_extend_chunked_prefill_matches_full(params):
     """prefill(first chunk) + extend(second chunk) == forward(full prompt),
     and subsequent decode from the extended cache stays correct."""
