@@ -43,7 +43,7 @@ def main():
     cfg = models.TransformerConfig(
         vocab_size=32000, d_model=2048, n_layers=args.layers, n_heads=16,
         n_kv_heads=4, d_head=128, d_ff=5504, dtype=jnp.bfloat16,
-        block_q=512, block_k=1024,
+        block_q=1024, block_k=1024,
     )
     params = models.init_params(cfg, jax.random.PRNGKey(0))
     b = args.batch

@@ -36,8 +36,8 @@ class TransformerConfig:
     rope_theta: float = 10000.0
     dtype: Any = jnp.bfloat16
     # attention kernel blocks (tuned for TPU v5e VMEM)
-    block_q: int = 512
-    block_k: int = 512
+    block_q: int = 1024
+    block_k: int = 1024
 
     @property
     def q_dim(self) -> int:

@@ -47,15 +47,17 @@ from flashattention_kernel_project_tpu.ops.softmax import NEG_INF
 from flashattention_kernel_project_tpu.utils.platform import default_interpret
 
 # Block-shape defaults (None = auto): swept on TPU v5e (docs/perf_journal.md).
-# d=128: (512, 1024); d<=64: (1024, 1024) — the bigger q block amortizes the
-# per-block (m, l, acc) state passes over a halved-FLOP problem.
+# (1024, 1024) for all head dims: the bigger q block halves the per-q-block
+# (m, l, acc) init/finish passes and KV revisits; measured 109 vs 101 TF
+# against (512, 1024) at 4K/d128 causal (3 fresh-process rounds), and best
+# at d<=64 too. bk=2048 and bq=256 are clearly worse (83 TF).
 DEFAULT_BLOCK_Q = None
 DEFAULT_BLOCK_K = None
 
 
 def _auto_blocks(block_q, block_k, d):
     if block_q is None:
-        block_q = 1024 if d <= 64 else 512
+        block_q = 1024
     if block_k is None:
         block_k = 1024
     return block_q, block_k
