@@ -58,6 +58,11 @@ def init_cache(
     *,
     quantized: bool = False,
 ) -> KVCache:
+    """Allocate a linear KV cache. quantized=True stores int8 + per-token
+    scales: choose it for CAPACITY (half the cache HBM -> 2x batch or
+    context at fixed memory), not latency — per-step it measures ~6-20%
+    behind bf16 (the append quantizes and writes 4 buffers/layer vs 2;
+    docs/perf_journal.md). Pair with quantize_decode_params for weights."""
     shape = (batch, cfg.n_kv_heads, max_len, cfg.d_head)
     L = cfg.n_layers
     if quantized:

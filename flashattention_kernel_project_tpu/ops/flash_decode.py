@@ -36,7 +36,7 @@ from flashattention_kernel_project_tpu.utils.platform import default_interpret
 
 
 def _decode_kernel(
-    len_ref,  # SMEM [B, 1] int32 (whole array; scalars live in SMEM)
+    len_ref,  # scalar-prefetch [B] int32
     q_ref,  # [1, 1, GP, D]
     k_ref,  # [1, 1, block_s, D]
     v_ref,  # [1, 1, block_s, D]
@@ -48,7 +48,7 @@ def _decode_kernel(
     sm_scale: float,
 ):
     split = pl.program_id(2)
-    length = len_ref[pl.program_id(0), 0]
+    length = len_ref[pl.program_id(0)]
     gp = q_ref.shape[2]
 
     m_ref[0, 0, 0] = jnp.full_like(m_ref[0, 0, 0], NEG_INF)
@@ -84,10 +84,10 @@ def _decode_kernel(
 
 
 def _decode_kernel_int8(
-    len_ref,  # SMEM [B, 1] int32 (whole array)
+    len_ref,  # scalar-prefetch [B] int32
     q_ref,
     k_ref,  # int8 [1, 1, block_s, D]
-    ks_ref,  # [1, 1, block_s, 1] f32 per-token scale
+    ks_ref,  # [1, 1, 1, block_s] f32 per-token scale, LANE-oriented
     v_ref,
     vs_ref,
     m_ref,
@@ -98,7 +98,7 @@ def _decode_kernel_int8(
     sm_scale: float,
 ):
     split = pl.program_id(2)
-    length = len_ref[pl.program_id(0), 0]
+    length = len_ref[pl.program_id(0)]
     gp = q_ref.shape[2]
 
     m_ref[0, 0, 0] = jnp.full_like(m_ref[0, 0, 0], NEG_INF)
@@ -109,14 +109,16 @@ def _decode_kernel_int8(
     def _compute():
         q = q_ref[0, 0]
         # dequant at the load stage: int8 -> bf16 cast only; scales applied
-        # outside the MXU matmuls.
+        # outside the MXU matmuls. Scales arrive lane-oriented [1, block_s]:
+        # a sublane-oriented [block_s, 1] block here costs a VPU transpose
+        # per program (measured 2.1x the whole bf16 kernel).
         k = k_ref[0, 0].astype(q.dtype)
-        k_scale = ks_ref[0, 0][:, 0]  # [block_s]
+        k_scale = ks_ref[0, 0]  # [1, block_s]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s * (sm_scale * k_scale)[None, :]
+        s = s * (sm_scale * k_scale)
 
         col = split * block_s + jax.lax.broadcasted_iota(jnp.int32, (gp, block_s), 1)
         mask = col < length
@@ -125,7 +127,7 @@ def _decode_kernel_int8(
         e = jnp.where(mask, jnp.exp(s - m), 0.0)
         l = jnp.sum(e, axis=-1, keepdims=True)
         # fold the per-token V scale into the exp weights (VPU, [GP, block_s])
-        ew = e * vs_ref[0, 0][:, 0][None, :]
+        ew = e * vs_ref[0, 0]  # [1, block_s] lane-oriented broadcast
         v = v_ref[0, 0].astype(q.dtype)
         y = jax.lax.dot_general(
             ew.astype(q.dtype), v, (((1,), (0,)), ((), ())),
@@ -206,33 +208,47 @@ def flash_decode(
         k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
 
-    lengths2d = lengths.reshape(b, 1).astype(jnp.int32)
     kernel = functools.partial(_decode_kernel, block_s=block_s, sm_scale=sm_scale)
-    grid = (b, hkv, n_splits)
-    m, l, y = pl.pallas_call(
-        kernel,
-        grid=grid,
+
+    # Dead splits (entirely past `length`) clamp their K/V block index to the
+    # last live split: consecutive grid steps then map to the same block and
+    # the pipeline ELIDES the DMA — a padded cache costs ceil(len/block)
+    # blocks of HBM traffic, not S_max/block (measured 26% -> near-bandwidth
+    # on a 2048-token cache padded to 3072; docs/perf_journal.md).
+    def _kv_map(bb, h, s, ln):
+        last = jnp.maximum(jax.lax.div(ln[bb] + block_s - 1, block_s) - 1, 0)
+        return (bb, h, jnp.minimum(s, last), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv, n_splits),
         in_specs=[
-            pl.BlockSpec((b, 1), lambda bb, h, s: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, gp, d), lambda bb, h, s: (bb, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_s, d), lambda bb, h, s: (bb, h, s, 0)),
-            pl.BlockSpec((1, 1, block_s, d), lambda bb, h, s: (bb, h, s, 0)),
+            pl.BlockSpec((1, 1, gp, d), lambda bb, h, s, ln: (bb, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_s, d), _kv_map),
+            pl.BlockSpec((1, 1, block_s, d), _kv_map),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s: (bb, h, s, 0, 0)),
-            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s: (bb, h, s, 0, 0)),
-            pl.BlockSpec((1, 1, 1, gp, d), lambda bb, h, s: (bb, h, s, 0, 0)),
+            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s, ln: (bb, h, s, 0, 0)),
+            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s, ln: (bb, h, s, 0, 0)),
+            pl.BlockSpec((1, 1, 1, gp, d), lambda bb, h, s, ln: (bb, h, s, 0, 0)),
         ],
+    )
+    m, l, y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, hkv, n_splits, gp, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, hkv, n_splits, gp, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, hkv, n_splits, gp, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths2d, qg.reshape(b, hkv, gp, d), k_cache, v_cache)
+    )(
+        lengths.astype(jnp.int32),
+        qg.reshape(b, hkv, gp, d), k_cache, v_cache,
+    )
 
     out = merge_partials(m, l, y)  # [B, Hkv, GP, D]
     return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)
@@ -283,41 +299,63 @@ def flash_decode_int8(
     if extra:
         pad_s += extra * n_splits
         block_s += extra
+    # scales relayout to lane-major [B, Hkv, 1, S]: the kernel broadcasts
+    # them across score columns, and a [block_s, 1] sublane-oriented block
+    # would need a per-program VPU transpose (measured 2.1x the bf16 kernel)
+    k_scale = k_scale.reshape(b, hkv, 1, s_max)
+    v_scale = v_scale.reshape(b, hkv, 1, s_max)
     if pad_s:
         pads = ((0, 0), (0, 0), (0, pad_s), (0, 0))
         k_q, v_q = jnp.pad(k_q, pads), jnp.pad(v_q, pads)
-        k_scale, v_scale = jnp.pad(k_scale, pads), jnp.pad(v_scale, pads)
+        pads_sc = ((0, 0), (0, 0), (0, 0), (0, pad_s))
+        k_scale = jnp.pad(k_scale, pads_sc)
+        v_scale = jnp.pad(v_scale, pads_sc)
 
-    lengths2d = lengths.reshape(b, 1).astype(jnp.int32)
     kernel = functools.partial(
         _decode_kernel_int8, block_s=block_s, sm_scale=sm_scale
     )
-    m, l, y = pl.pallas_call(
-        kernel,
+
+    # same dead-split DMA elision as the bf16 kernel (see flash_decode)
+    def _kv_map(bb, h, s, ln):
+        last = jnp.maximum(jax.lax.div(ln[bb] + block_s - 1, block_s) - 1, 0)
+        return (bb, h, jnp.minimum(s, last), 0)
+
+    def _scale_map(bb, h, s, ln):
+        last = jnp.maximum(jax.lax.div(ln[bb] + block_s - 1, block_s) - 1, 0)
+        return (bb, h, 0, jnp.minimum(s, last))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b, hkv, n_splits),
         in_specs=[
-            pl.BlockSpec((b, 1), lambda bb, h, s: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, gp, d), lambda bb, h, s: (bb, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_s, d), lambda bb, h, s: (bb, h, s, 0)),
-            pl.BlockSpec((1, 1, block_s, 1), lambda bb, h, s: (bb, h, s, 0)),
-            pl.BlockSpec((1, 1, block_s, d), lambda bb, h, s: (bb, h, s, 0)),
-            pl.BlockSpec((1, 1, block_s, 1), lambda bb, h, s: (bb, h, s, 0)),
+            pl.BlockSpec((1, 1, gp, d), lambda bb, h, s, ln: (bb, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_s, d), _kv_map),
+            pl.BlockSpec((1, 1, 1, block_s), _scale_map),
+            pl.BlockSpec((1, 1, block_s, d), _kv_map),
+            pl.BlockSpec((1, 1, 1, block_s), _scale_map),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s: (bb, h, s, 0, 0)),
-            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s: (bb, h, s, 0, 0)),
-            pl.BlockSpec((1, 1, 1, gp, d), lambda bb, h, s: (bb, h, s, 0, 0)),
+            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s, ln: (bb, h, s, 0, 0)),
+            pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s, ln: (bb, h, s, 0, 0)),
+            pl.BlockSpec((1, 1, 1, gp, d), lambda bb, h, s, ln: (bb, h, s, 0, 0)),
         ],
+    )
+    m, l, y = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b, hkv, n_splits, gp, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, hkv, n_splits, gp, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, hkv, n_splits, gp, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths2d, qg.reshape(b, hkv, gp, d), k_q, k_scale, v_q, v_scale)
+    )(
+        lengths.astype(jnp.int32),
+        qg.reshape(b, hkv, gp, d), k_q, k_scale, v_q, v_scale,
+    )
 
     out = merge_partials(m, l, y)
     return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)

@@ -32,6 +32,12 @@ from flashattention_kernel_project_tpu.utils.platform import default_interpret
 _LOG2E = 1.4426950408889634
 
 
+def _live_page(tbl, ln, bb, p, page_size):
+    """Block-table lookup with dead entries clamped to the last live page."""
+    last = jnp.maximum(jax.lax.div(ln[bb] + page_size - 1, page_size) - 1, 0)
+    return tbl[bb, jnp.minimum(p, last)]
+
+
 def _paged_decode_kernel(
     table_ref,  # scalar-prefetch [B, max_pages] int32 page ids
     len_ref,    # scalar-prefetch [B] int32 sequence lengths
@@ -146,14 +152,17 @@ def paged_flash_decode(
         grid=(b, hkv, max_pages),
         in_specs=[
             pl.BlockSpec((1, 1, gp, d), lambda bb, h, p, tbl, ln: (bb, h, 0, 0)),
-            # the page index comes from the prefetched block table
+            # the page index comes from the prefetched block table; entries
+            # past the sequence's last live page CLAMP to that page so
+            # consecutive dead steps map to the same block and the pipeline
+            # elides their DMAs (they are compute-skipped anyway)
             pl.BlockSpec(
                 (1, 1, page_size, d),
-                lambda bb, h, p, tbl, ln: (tbl[bb, p], h, 0, 0),
+                lambda bb, h, p, tbl, ln: (_live_page(tbl, ln, bb, p, page_size), h, 0, 0),
             ),
             pl.BlockSpec(
                 (1, 1, page_size, d),
-                lambda bb, h, p, tbl, ln: (tbl[bb, p], h, 0, 0),
+                lambda bb, h, p, tbl, ln: (_live_page(tbl, ln, bb, p, page_size), h, 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
