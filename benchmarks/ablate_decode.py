@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=2048)
     ap.add_argument("--layers", type=int, default=4)
-    ap.add_argument("--int8-weights", action="store_true", default=True)
+    ap.add_argument("--int8-weights", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -89,7 +89,9 @@ def main():
         if head:
             logits = engine._lm_head(params, x[:, 0])
         else:
-            logits = jnp.zeros((bsz, 32000), jnp.float32) + x[:, 0, :1]
+            logits = (
+                jnp.zeros((bsz, cfg.vocab_size), jnp.float32) + x[:, 0, :1]
+            )
         return logits, engine.KVCache(k_all, v_all, None, None, new_lengths)
 
     variants = {

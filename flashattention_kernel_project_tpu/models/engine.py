@@ -469,20 +469,29 @@ def _sample(logits, temperature, key, step, top_k=None, top_p=None):
     if temperature <= 0.0 or key is None:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
-    if top_k is not None and 0 < top_k < logits.shape[-1]:
-        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-    if top_p is not None and 0.0 < top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep the smallest prefix with cumulative prob >= top_p (always
-        # keeps the argmax: cum >= p first becomes true ON the boundary row)
-        keep = cum - probs < top_p
-        cutoff = jnp.min(
-            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
-        )
-        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    use_k = top_k is not None and 0 < top_k < logits.shape[-1]
+    use_p = top_p is not None and 0.0 < top_p < 1.0
+    if use_k or use_p:
+        # one descending sort serves both filters
+        sorted_desc = jnp.sort(logits, axis=-1)[:, ::-1]
+        if use_k:
+            kth = sorted_desc[:, top_k - 1][:, None]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if use_p:
+            if use_k:
+                sorted_desc = jnp.where(
+                    jnp.arange(sorted_desc.shape[-1])[None, :] < top_k,
+                    sorted_desc, -jnp.inf,
+                )
+            probs = jax.nn.softmax(sorted_desc, axis=-1)
+            cum = jnp.cumsum(probs, axis=-1)
+            # keep the smallest prefix with cumulative prob >= top_p (always
+            # keeps the argmax: cum >= p first becomes true ON the boundary)
+            keep = cum - probs < top_p
+            cutoff = jnp.min(
+                jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
+            )
+            logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     k = jax.random.fold_in(key, step)
     return jax.random.categorical(k, logits, axis=-1).astype(jnp.int32)
 

@@ -138,6 +138,14 @@ def _decode_kernel_int8(
         y_ref[0, 0, 0] = y
 
 
+def _clamp_to_live(ln, bb, s, block_s):
+    """Split index clamped to the last live block of sequence bb: dead
+    splits re-map to it so consecutive grid steps fetch the same block and
+    the pipeline elides their DMAs (see flash_decode)."""
+    last = jnp.maximum(jax.lax.div(ln[bb] + block_s - 1, block_s) - 1, 0)
+    return jnp.minimum(s, last)
+
+
 def merge_partials(m, l, y):
     """Combine per-split unnormalized partials along axis `-3`/`-2` of
     (m, l) / y with the associative streaming algebra (one-shot form:
@@ -213,11 +221,10 @@ def flash_decode(
     # Dead splits (entirely past `length`) clamp their K/V block index to the
     # last live split: consecutive grid steps then map to the same block and
     # the pipeline ELIDES the DMA — a padded cache costs ceil(len/block)
-    # blocks of HBM traffic, not S_max/block (measured 26% -> near-bandwidth
-    # on a 2048-token cache padded to 3072; docs/perf_journal.md).
+    # blocks of HBM traffic, not S_max/block (a 512-token sequence in a
+    # 3072-token cache measured 52.7 vs 75.4 us; docs/perf_journal.md).
     def _kv_map(bb, h, s, ln):
-        last = jnp.maximum(jax.lax.div(ln[bb] + block_s - 1, block_s) - 1, 0)
-        return (bb, h, jnp.minimum(s, last), 0)
+        return (bb, h, _clamp_to_live(ln, bb, s, block_s), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -317,12 +324,10 @@ def flash_decode_int8(
 
     # same dead-split DMA elision as the bf16 kernel (see flash_decode)
     def _kv_map(bb, h, s, ln):
-        last = jnp.maximum(jax.lax.div(ln[bb] + block_s - 1, block_s) - 1, 0)
-        return (bb, h, jnp.minimum(s, last), 0)
+        return (bb, h, _clamp_to_live(ln, bb, s, block_s), 0)
 
     def _scale_map(bb, h, s, ln):
-        last = jnp.maximum(jax.lax.div(ln[bb] + block_s - 1, block_s) - 1, 0)
-        return (bb, h, 0, jnp.minimum(s, last))
+        return (bb, h, 0, _clamp_to_live(ln, bb, s, block_s))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -99,6 +99,12 @@ def test_int8_weight_decode_close_to_fp(params):
     lf, _ = models.decode_step(CFG, fused, nxt, cache)
     lq, _ = models.decode_step(CFG, q8, nxt, cache)
     assert_rel_l2(lq, np.asarray(lf), tol=5e-2)
+    # the greedy token must survive quantization on this (deterministic)
+    # fixture — a logits perturbation big enough to flip the argmax here
+    # is a real regression even if it sneaks under the rel-L2 gate
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(lq), -1), np.argmax(np.asarray(lf), -1)
+    )
 
 
 def test_generate_int8_weights(params):
