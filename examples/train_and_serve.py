@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""End-to-end walkthrough: train a tiny GQA transformer, checkpoint it,
+resume, then serve it (prefill + KV-cached decode with sampling).
+
+Runs anywhere: on a machine with a TPU attached it uses the chip; on CPU
+the kernels fall back to interpret mode automatically. For the multi-chip
+version of the train step see parallel/train.py and __graft_entry__.py's
+dryrun_multichip.
+
+    python examples/train_and_serve.py [--steps 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--lr", type=float, default=0.1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from flashattention_kernel_project_tpu import models
+
+    cfg = models.TransformerConfig(
+        vocab_size=256,
+        d_model=128,
+        n_layers=2,
+        n_heads=4,
+        n_kv_heads=2,   # GQA 2:1
+        d_head=32,
+        d_ff=256,
+        dtype=jnp.float32,
+        block_q=64,
+        block_k=64,
+    )
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+
+    # --- train on a toy corpus (predict the next byte of a repeating motif)
+    rng = np.random.default_rng(0)
+    motif = rng.integers(0, cfg.vocab_size, 64)
+    corpus = np.tile(motif, 64)
+
+    def batch(step, b=8, t=128):
+        starts = rng.integers(0, corpus.size - t - 1, b)
+        return jnp.asarray(
+            np.stack([corpus[s : s + t] for s in starts]), jnp.int32
+        )
+
+    loss = float("nan")
+    for step in range(args.steps):
+        params, loss = models.sgd_train_step(cfg, params, batch(step), lr=args.lr)
+        if step % 5 == 0 or step == args.steps - 1:
+            print(f"step {step:3d}  loss {float(loss):.4f}")
+
+    # --- checkpoint + resume
+    ckpt_dir = tempfile.mkdtemp(prefix="fkp_ckpt_")
+    models.save_checkpoint(ckpt_dir, params, step=args.steps, config=cfg)
+    state = models.restore_checkpoint(ckpt_dir, params_template=params)
+    restored = state["params"]
+    print(f"checkpoint round-trip OK (step {state['step']}) -> {ckpt_dir}")
+
+    # --- serve: greedy decode should reproduce the motif from a prefix
+    prompt = jnp.asarray(corpus[None, :32], jnp.int32)
+    out = models.generate(
+        cfg, restored, prompt, max_new_tokens=16, temperature=0.0
+    )
+    want = corpus[32:48]
+    got = np.asarray(out)[0, 32:]
+    acc = float((got == want).mean())
+    print(f"greedy continuation accuracy vs corpus: {acc:.2f}")
+
+    # --- sampled generation (top-k / nucleus)
+    sampled = models.generate(
+        cfg, restored, prompt, max_new_tokens=16,
+        temperature=0.8, top_k=32, top_p=0.95, key=jax.random.PRNGKey(1),
+    )
+    print("sampled tail:", np.asarray(sampled)[0, 32:].tolist())
+
+
+if __name__ == "__main__":
+    main()

@@ -106,15 +106,22 @@ def benchmark_chained(
     n1, n2 = n_pair
     np.asarray(jax.tree.leaves(run(1, *args))[0])  # compile + warm
     # pilot: estimate per-iter time, then size n2 to bury the jitter.
-    # Tunnel jitter can make the pilot delta zero/negative; in that case the
-    # estimate is meaningless, so cap the growth at 100x the requested span
-    # instead of inflating n2 toward min_delta_s / 1e-7 (a multi-hour hang).
-    pilot = measure(n2, r=2) - measure(n1, r=2)
+    # Tunnel jitter can make the pilot delta zero/negative; the estimate is
+    # then meaningless — retry once, and if still unusable grow n2 by a
+    # fixed 20x so a fast kernel's delta isn't left buried under the
+    # 100s-of-ms dispatch jitter (that produced reproducibly NEGATIVE
+    # "timings" for sub-ms rungs). Growth stays capped (vs inflating n2
+    # toward min_delta_s / 1e-7, a multi-hour hang for a slow kernel).
     span = n2 - n1
+    pilot = measure(n2, r=2) - measure(n1, r=2)
+    if pilot <= 0:
+        pilot = measure(n2, r=3) - measure(n1, r=3)
     if pilot > 0:
         need = min(int(min_delta_s / (pilot / span)), 100 * span)
         if need > span:
             n2 = n1 + need
+    else:
+        n2 = n1 + 20 * span
 
     times = {n: measure(n) for n in (n1, n2)}
     per_iter_ms = 1e3 * (times[n2] - times[n1]) / (n2 - n1)
