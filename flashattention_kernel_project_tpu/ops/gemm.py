@@ -93,8 +93,8 @@ def matmul(
     a: jax.Array,
     b: jax.Array,
     *,
-    block_m: int = 256,
-    block_n: int = 256,
+    block_m: int = 1024,
+    block_n: int = 1024,
     block_k: int = 512,
     out_dtype=jnp.float32,
     interpret: bool | None = None,
@@ -182,8 +182,8 @@ def batched_matmul(
     a: jax.Array,
     b: jax.Array,
     *,
-    block_m: int = 256,
-    block_n: int = 256,
+    block_m: int = 1024,
+    block_n: int = 1024,
     block_k: int = 512,
     out_dtype=jnp.float32,
     interpret: bool | None = None,
@@ -260,8 +260,11 @@ def matmul_fused_epilogue(
     bias: jax.Array,
     residual: jax.Array,
     *,
-    block_m: int = 256,
-    block_n: int = 256,
+    # smaller m-block than plain matmul: the residual block + bf16 out block
+    # ride VMEM alongside the accumulator ((1024,1024) OOMs the 16M scoped
+    # vmem limit at 20M)
+    block_m: int = 512,
+    block_n: int = 1024,
     block_k: int = 512,
     out_dtype=jnp.float32,
     interpret: bool | None = None,

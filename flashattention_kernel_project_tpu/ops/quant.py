@@ -86,8 +86,8 @@ def matmul_int8_weights(
     w_q: jax.Array,
     w_scale: jax.Array,
     *,
-    block_m: int = 256,
-    block_n: int = 256,
+    block_m: int = 1024,
+    block_n: int = 1024,
     block_k: int = 512,
     out_dtype=jnp.float32,
     interpret: bool | None = None,
