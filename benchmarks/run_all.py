@@ -82,6 +82,15 @@ def build_benches(quick: bool, long: bool = False):
     x = jnp.asarray(rng.standard_normal((rows, cols)), dtype=jnp.float32)
     reg("softmax_8192x4096", ops.softmax, (x,),
         bytes_accessed=2 * rows * cols * 4, flops=5 * rows * cols)
+    # the reference's own softmax config (4096 rows x 512,
+    # softmax_naive_baseline.cu / softmax_block_hybrid.cu mains). NOTE: the
+    # whole 8.4 MB problem fits in VMEM, so the chained-loop carry stays
+    # on-chip and the measured "GB/s" is VMEM-resident throughput (2.3 TB/s
+    # measured) — the reference's benchmark size is simply small for a TPU.
+    rows_r, cols_r = 4096, 512
+    xr = jnp.asarray(rng.standard_normal((rows_r, cols_r)), dtype=jnp.float32)
+    reg("softmax_4096x512_refcfg", ops.softmax, (xr,),
+        bytes_accessed=2 * rows_r * cols_r * 4, flops=5 * rows_r * cols_r)
 
     # --- fused attention (sections 2.3-2.5) --------------------------------
     B, H, HKV, N, D = 1, 16, 4, 4096, 128
@@ -130,6 +139,23 @@ def build_benches(quick: bool, long: bool = False):
         ops.flash_decode_int8,
         (qd, kq, ks, vq, vs, lens), bytes_accessed=kv_bytes // 2,
         flops=4 * DB * H * DS * D)
+
+    # the reference's streaming-kernel problem shape (B=1024 independent
+    # sequences, short KV, small head count — flashattn_streaming_16x16.cu
+    # mains), through the explicit-DMA double-buffer kernel (section 2.7
+    # warp-specialization analog)
+    # d=128 (not the reference's 16): the manual-DMA kernel slices KV tiles
+    # along the head dim, and Mosaic requires 128-lane-aligned slices
+    SB, SH, SS, SD = 1024, 8, 128, 128
+    qs = jnp.asarray(rng.standard_normal((SB, SH, SD)), dtype=jnp.bfloat16)
+    ks_c = jnp.asarray(rng.standard_normal((SB, 1, SS, SD)), dtype=jnp.bfloat16)
+    vs_c = jnp.asarray(rng.standard_normal((SB, 1, SS, SD)), dtype=jnp.bfloat16)
+    lens_s = jnp.full((SB,), SS, jnp.int32)
+    skv_bytes = 2 * SB * 1 * SS * SD * 2
+    reg("streaming_dma_decode_b1024_s128_refcfg",
+        functools.partial(ops.streaming_decode, block_s=64),
+        (qs, ks_c, vs_c, lens_s), bytes_accessed=skv_bytes,
+        flops=4 * SB * SH * SS * SD)
 
     return benches, benchmark_chained
 
