@@ -86,6 +86,7 @@ def _fwd_kernel(
     block_k: int,
     num_sub: int,
     pipeline_subs: bool,
+    stable: bool,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -171,6 +172,31 @@ def _fwd_kernel(
         # [-inf, 0], where bf16 exp has ~3 decimal digits — inside the 1e-2
         # numerics gate (verified vs oracle in tests and on-chip).
         acc = acc_scr[:]
+        if not stable:
+            # fixed-max discipline (FlashDecoding++-style): skip the max
+            # reduce AND the carry rescale entirely — p = exp2(s) directly,
+            # sound while s stays within exp2's bf16 range (|s_nat| < ~80;
+            # see flash_attention's `stable` docstring). Masked lanes are
+            # NEG_INF -> exp2 flushes to exact 0.
+            l_c = l_scr[:]
+            for i, s_i in enumerate(s_parts):
+                p = exp_(s_i.astype(v.dtype))
+                if masks[i] is not None:
+                    p = jnp.where(masks[i], p, jnp.zeros_like(p))
+                l_c = l_c + jnp.sum(
+                    p, axis=-1, keepdims=True, dtype=jnp.float32
+                )
+                acc = acc + jax.lax.dot_general(
+                    p,
+                    v[i * sub : (i + 1) * sub],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_precision(v.dtype),
+                )
+            l_scr[:] = l_c
+            m_scr[:] = jnp.zeros_like(m_scr)  # lse = log(l) + m*ln2, m = 0
+            acc_scr[:] = acc
+            return
         if pipeline_subs:
             # Sequential online-softmax sub-steps: exp(p_i) only needs
             # max(s_i), so the VPU starts as soon as s_0 lands while the MXU
@@ -276,6 +302,7 @@ def _fwd(
     interpret: bool | None,
     num_sub: int = 1,
     pipeline_subs: bool = True,
+    stable: bool = True,
 ):
     if interpret is None:
         interpret = default_interpret()
@@ -316,6 +343,7 @@ def _fwd(
         block_k=block_k,
         num_sub=num_sub,
         pipeline_subs=pipeline_subs,
+        stable=stable,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -960,28 +988,35 @@ def _bwd_reference(res, g, causal, sm_scale, q_offset, block_k):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def _flash_attention(
-    q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
+    q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub,
+    stable,
 ):
     out, _ = _fwd(
-        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
+        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
+        num_sub, stable=stable,
     )
     return out
 
 
 def _flash_attention_fwd(
-    q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
+    q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub,
+    stable,
 ):
     out, lse = _fwd(
-        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
+        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
+        num_sub, stable=stable,
     )
     return out, (q, k, v, out, lse)
 
 
 def _flash_attention_bwd(
-    causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub, res, g
+    causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub, stable,
+    res, g,
 ):
+    # the backward recompute is always max-stable (it subtracts the saved
+    # lse, which bounds the exponent), so `stable` only shapes the forward
     if sm_scale is None:
         sm_scale = 1.0 / (res[0].shape[-1] ** 0.5)
     return _bwd_pallas(
@@ -1010,6 +1045,7 @@ def flash_attention(
     block_k: int | None = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
     num_sub: int = DEFAULT_NUM_SUB,
+    stable: bool = True,
 ) -> jax.Array:
     """Fused multi-head / grouped-query FlashAttention forward.
 
@@ -1022,21 +1058,31 @@ def flash_attention(
       sm_scale: score scale, default 1/sqrt(head_dim).
       num_sub: KV sub-tiles per block; >1 interleaves the MXU QK/PV dots
         with the VPU softmax chain (measured ~MXU/VPU overlap lever).
+      stable: True = online max-tracked softmax (safe for any input).
+        False = fixed-max exp2 (FlashDecoding++-style): drops the max
+        reduce and the (m, l, acc) rescale passes — the kernel's measured
+        VPU bottleneck — at the cost of requiring bounded logits:
+        |score * sm_scale| < ~80 (exp2 argument within bf16/f32 range;
+        p overflows above ~2^127). Typical trained models sit far inside
+        this; models with attention-sink outlier logits should keep True.
+        The backward pass is unaffected (it re-centers on the saved lse).
 
     Returns [batch, q_heads, q_len, head_dim_v]; differentiable.
     """
     return _flash_attention(
-        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
+        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
+        num_sub, stable,
     )
 
 
 def flash_attention_with_lse(
     q, k, v, *, causal=False, sm_scale=None, q_offset=0,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=None,
-    num_sub=DEFAULT_NUM_SUB,
+    num_sub=DEFAULT_NUM_SUB, stable=True,
 ):
     """Forward that also returns logsumexp [b, hq, n] — the (m, l) carry the
     ring/context-parallel layer merges across devices (non-differentiable)."""
     return _fwd(
-        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub
+        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
+        num_sub, stable=stable,
     )

@@ -33,6 +33,39 @@ def test_flash_forward_mha(rng, causal, n, s):
     assert_rel_l2(got, exp, tol=1e-2)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_forward_unstable_fixed_max(rng, causal):
+    """stable=False (fixed-max exp2, no max reduce / no rescale) must match
+    the oracle on bounded-logit inputs, including the lse side output and
+    the tail-mask path."""
+    q, k, v = _rand_qkv(rng, 1, 4, 2, 128, 384, 64)
+    got, lse = ops.flash_attention_with_lse(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=causal, block_q=128, block_k=128, stable=False,
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=causal)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+    ref, ref_lse = ops.flash_attention_with_lse(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=causal, block_q=128, block_k=128, stable=True,
+    )
+    assert_rel_l2(got, np.asarray(ref), tol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(ref_lse), rtol=1e-3, atol=1e-3
+    )
+
+    # grad flows through the (always-stable) backward
+    def loss(q, k, v):
+        o = ops.flash_attention(
+            q, k, v, causal=causal, block_q=128, block_k=128, stable=False
+        )
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss)(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_flash_forward_gqa(rng):
     q, k, v = _rand_qkv(rng, 1, 8, 2, 256, 256, 64)
     got = ops.flash_attention(
