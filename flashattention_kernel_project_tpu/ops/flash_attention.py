@@ -47,17 +47,20 @@ from flashattention_kernel_project_tpu.ops.softmax import NEG_INF
 from flashattention_kernel_project_tpu.utils.platform import default_interpret
 
 # Block-shape defaults (None = auto): swept on TPU v5e (docs/perf_journal.md).
-# (1024, 1024) for all head dims: the bigger q block halves the per-q-block
-# (m, l, acc) init/finish passes and KV revisits; measured 109 vs 101 TF
-# against (512, 1024) at 4K/d128 causal (3 fresh-process rounds), and best
-# at d<=64 too. bk=2048 and bq=256 are clearly worse (83 TF).
+# stable=True -> (1024, 1024) for all head dims: the bigger q block halves
+# the per-q-block (m, l, acc) init/finish passes and KV revisits; measured
+# 109 vs 101 TF against (512, 1024) at 4K/d128 causal (3 fresh-process
+# rounds), and best at d<=64 too. bk=2048 and bq=256 are clearly worse.
+# stable=False -> (512, 1024): with the max bookkeeping gone the kernel is
+# no longer VPU-dominated and the smaller q block wins (139 vs 124 TF in
+# the same process; ordering reproduced across processes).
 DEFAULT_BLOCK_Q = None
 DEFAULT_BLOCK_K = None
 
 
-def _auto_blocks(block_q, block_k, d):
+def _auto_blocks(block_q, block_k, d, stable=True):
     if block_q is None:
-        block_q = 1024
+        block_q = 1024 if stable else 512
     if block_k is None:
         block_k = 1024
     return block_q, block_k
@@ -311,7 +314,7 @@ def _fwd(
     d_v = v.shape[-1]
     assert hq % hkv == 0, (hq, hkv)
     group = hq // hkv
-    block_q, block_k = _auto_blocks(block_q, block_k, d)
+    block_q, block_k = _auto_blocks(block_q, block_k, d, stable=stable)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     # fold the score scale AND log2(e) into q (cost O(N*D)): scores land in
