@@ -66,6 +66,32 @@ def test_flash_forward_unstable_fixed_max(rng, causal):
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_flash_forward_unstable_overflow_is_detectable(rng):
+    """The fixed-max discipline's documented boundary: logits far outside
+    |s_nat| < ~80 overflow exp2 and the output diverges — and it diverges
+    LOUDLY (non-finite or rel-L2 >> 5e-3), which is exactly what bench.py's
+    cross-check keys on to fall back to the stable kernel. Guards the guard:
+    if someone "fixes" the kernel so overflow fails silently inside the
+    tolerance, this test catches it."""
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 256, 64)
+    q = q * 40.0  # |scores*sm_scale| ~ N(0, 40*sqrt? ) >> 80 natural-log units
+    safe = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), stable=True,
+        block_q=128, block_k=128,
+    )
+    exp = oracles.gqa_attention(q, k, v)
+    assert_rel_l2(safe, exp, tol=1e-2)  # stable path shrugs it off
+    fast = np.asarray(
+        ops.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), stable=False,
+            block_q=128, block_k=128,
+        ),
+        np.float32,
+    )
+    err = np.linalg.norm(fast - exp) / np.linalg.norm(exp)
+    assert (not np.isfinite(fast).all()) or err >= 5e-3, err
+
+
 def test_flash_forward_gqa(rng):
     q, k, v = _rand_qkv(rng, 1, 8, 2, 256, 256, 64)
     got = ops.flash_attention(
