@@ -103,6 +103,13 @@ def build_benches(quick: bool, long: bool = False):
     reg("flashattn_fwd_full_d128_seq4k",
         functools.partial(ops.flash_attention, causal=False),
         (q, k, v), flops=4 * B * H * N * N * D)
+    # fixed-max discipline (stable=False): bounded-logit serving fast path
+    reg("flashattn_fwd_causal_d128_seq4k_fast",
+        functools.partial(ops.flash_attention, causal=True, stable=False),
+        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5))
+    reg("flashattn_fwd_full_d128_seq4k_fast",
+        functools.partial(ops.flash_attention, causal=False, stable=False),
+        (q, k, v), flops=4 * B * H * N * N * D)
 
     # BASELINE.md tracks attention-fwd vs roofline at d in {64,128} and
     # seq 4K-32K — the long-seq sweep (--long: the chained timing programs

@@ -179,6 +179,7 @@ def prefill(
             block_q=min(cfg.block_q, t),
             block_k=min(cfg.block_k, t),
             interpret=interpret,
+            stable=cfg.attn_stable,
         )
         x = x + o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"]
         x = tfm._mlp_block(layer, x)
@@ -253,6 +254,7 @@ def extend(
             block_q=min(cfg.block_q, max(t, 8)),
             block_k=min(cfg.block_k, k_full.shape[2]),
             interpret=interpret,
+            stable=cfg.attn_stable,
         )
         x = x + o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"]
         x = tfm._mlp_block(layer, x)

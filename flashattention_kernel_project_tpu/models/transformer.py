@@ -38,6 +38,12 @@ class TransformerConfig:
     # attention kernel blocks (tuned for TPU v5e VMEM)
     block_q: int = 1024
     block_k: int = 1024
+    # attention softmax discipline: True = online max-tracked (safe for any
+    # logits, training default); False = fixed-max exp2 (+18% measured on
+    # the forward kernel; requires bounded logits — see
+    # ops.flash_attention's `stable` doc). Backward is unaffected either
+    # way, so this is primarily a serving/prefill knob.
+    attn_stable: bool = True
 
     @property
     def q_dim(self) -> int:
@@ -146,6 +152,7 @@ def _attention_block(cfg, layer, x, sin, cos, *, interpret=None):
         block_q=min(cfg.block_q, n),
         block_k=min(cfg.block_k, n),
         interpret=interpret,
+        stable=cfg.attn_stable,
     )
     o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.q_dim)
     return x + o @ layer["wo"]

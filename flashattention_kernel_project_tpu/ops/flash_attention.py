@@ -415,6 +415,7 @@ def _fwd_kernel_ragged(
     causal: bool,
     block_q: int,
     block_k: int,
+    stable: bool,
 ):
     b = pl.program_id(0)
     q_idx = pl.program_id(2)
@@ -460,6 +461,23 @@ def _fwd_kernel_ragged(
                 )
                 mask = jnp.logical_and(mask, col <= row)
             s = jnp.where(mask, s, NEG_INF)
+
+        if not stable:
+            # fixed-max discipline (see flash_attention's `stable` doc):
+            # exp2(NEG_INF) flushes to exact 0, so masked lanes need no
+            # post-exp zeroing and fully-dead rows leave l at 0 (the
+            # finish epilogue's safe_l handles them)
+            p = jnp.exp2(s.astype(v.dtype))
+            l_scr[:] = l_scr[:] + jnp.sum(
+                p, axis=-1, keepdims=True, dtype=jnp.float32
+            )
+            m_scr[:] = jnp.zeros_like(m_scr)  # lse = log(l) + m*ln2
+            acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_precision(v.dtype),
+            )
+            return
 
         m_prev = m_scr[:]
         l_prev = l_scr[:]
@@ -511,7 +529,9 @@ def _fwd_kernel_ragged(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"),
+    static_argnames=(
+        "causal", "sm_scale", "block_q", "block_k", "interpret", "stable",
+    ),
 )
 def flash_attention_ragged(
     q: jax.Array,
@@ -525,6 +545,7 @@ def flash_attention_ragged(
     block_q: int | None = DEFAULT_BLOCK_Q,
     block_k: int | None = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
+    stable: bool = True,
 ) -> jax.Array:
     """Fused attention with per-batch KV lengths and causal query offsets.
 
@@ -532,6 +553,10 @@ def flash_attention_ragged(
     kv_lens: [B] valid keys per row; q_offsets: [B] position of query 0
     (query i attends key j iff j <= i + q_offsets[b], and j < kv_lens[b]).
     Forward-only (serving path). Returns [B, Hq, N, Dv].
+
+    stable=False selects the fixed-max exp2 discipline (same bounded-logit
+    contract as flash_attention's `stable`; +18% measured on the dense
+    kernel) — for serving stacks whose logit range is known.
     """
     if interpret is None:
         interpret = default_interpret()
@@ -539,7 +564,7 @@ def flash_attention_ragged(
     _, hkv, s, _ = k.shape
     d_v = v.shape[-1]
     group = hq // hkv
-    block_q, block_k = _auto_blocks(block_q, block_k, d)
+    block_q, block_k = _auto_blocks(block_q, block_k, d, stable=stable)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     # fold sm_scale * log2(e) into q: the kernel softmax runs in the log2
@@ -564,6 +589,7 @@ def flash_attention_ragged(
         causal=causal,
         block_q=block_q,
         block_k=block_k,
+        stable=stable,
     )
     out, _ = pl.pallas_call(
         kernel,

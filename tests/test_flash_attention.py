@@ -182,6 +182,32 @@ def test_flash_attention_ragged(rng):
         assert_rel_l2(np.asarray(got)[i : i + 1], exp, tol=1e-2)
 
 
+def test_flash_attention_ragged_unstable(rng):
+    """Fixed-max discipline on the ragged kernel: per-batch lengths/offsets,
+    a zero-length row, and the serving default shapes all inside the gate."""
+    b, hq, hkv, n, s, d = 3, 4, 2, 64, 160, 32
+    q = rng.standard_normal((b, hq, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    kv_lens = np.array([160, 100, 0], np.int32)
+    q_offsets = np.array([96, 36, 0], np.int32)
+
+    got = np.asarray(ops.flash_attention_ragged(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(kv_lens), jnp.asarray(q_offsets),
+        causal=True, block_q=32, block_k=32, stable=False,
+    ))
+    assert np.isfinite(got).all()
+    assert np.abs(got[2]).max() == 0.0  # dead row stays exact zeros
+    for i in range(2):
+        exp = oracles.gqa_attention(
+            q[i : i + 1], k[i : i + 1, :, : kv_lens[i]],
+            v[i : i + 1, :, : kv_lens[i]],
+            causal=True, q_offset=int(q_offsets[i]),
+        )
+        assert_rel_l2(got[i : i + 1], exp, tol=1e-2)
+
+
 def test_flash_attention_ragged_zero_len(rng):
     """kv_len == 0 rows must return zeros, not NaN."""
     q = rng.standard_normal((2, 2, 32, 32), dtype=np.float32)
