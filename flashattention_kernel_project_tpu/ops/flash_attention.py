@@ -51,16 +51,18 @@ from flashattention_kernel_project_tpu.utils.platform import default_interpret
 # the per-q-block (m, l, acc) init/finish passes and KV revisits; measured
 # 109 vs 101 TF against (512, 1024) at 4K/d128 causal (3 fresh-process
 # rounds), and best at d<=64 too. bk=2048 and bq=256 are clearly worse.
-# stable=False -> (512, 1024): with the max bookkeeping gone the kernel is
-# no longer VPU-dominated and the smaller q block wins (139 vs 124 TF in
-# the same process; ordering reproduced across processes).
+# stable=False, d>=128 -> (512, 1024): with the max bookkeeping gone the
+# kernel is no longer VPU-dominated and the smaller q block wins (139 vs
+# 124 TF in the same process; ordering reproduced across processes). At
+# d<=64 the q block is half the VMEM/MXU footprint and bq=1024 stays ahead
+# under both disciplines (65.0 vs 62.0 TF measured at 4K causal).
 DEFAULT_BLOCK_Q = None
 DEFAULT_BLOCK_K = None
 
 
 def _auto_blocks(block_q, block_k, d, stable=True):
     if block_q is None:
-        block_q = 1024 if stable else 512
+        block_q = 512 if (not stable and d > 64) else 1024
     if block_k is None:
         block_k = 1024
     return block_q, block_k
