@@ -60,9 +60,14 @@ DEFAULT_BLOCK_Q = None
 DEFAULT_BLOCK_K = None
 
 
-def _auto_blocks(block_q, block_k, d, stable=True):
+def _auto_blocks(block_q, block_k, d, stable=True, group=4):
+    # group: q-heads per kv-head. MHA (group=1) re-streams the full KV per
+    # q block, so the bigger q block's halved KV traffic wins even under
+    # the fixed-max discipline (122.6 TF at bq=1024 vs 116.2 at 512); GQA's
+    # KV blocks are revisited by `group` consecutive h steps (DMA elided),
+    # making the smaller q block's VPU/MXU balance the dominant term.
     if block_q is None:
-        block_q = 512 if (not stable and d > 64) else 1024
+        block_q = 512 if (not stable and d > 64 and group > 1) else 1024
     if block_k is None:
         block_k = 1024
     return block_q, block_k
@@ -316,7 +321,7 @@ def _fwd(
     d_v = v.shape[-1]
     assert hq % hkv == 0, (hq, hkv)
     group = hq // hkv
-    block_q, block_k = _auto_blocks(block_q, block_k, d, stable=stable)
+    block_q, block_k = _auto_blocks(block_q, block_k, d, stable=stable, group=group)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     # fold the score scale AND log2(e) into q (cost O(N*D)): scores land in
@@ -566,7 +571,7 @@ def flash_attention_ragged(
     _, hkv, s, _ = k.shape
     d_v = v.shape[-1]
     group = hq // hkv
-    block_q, block_k = _auto_blocks(block_q, block_k, d, stable=stable)
+    block_q, block_k = _auto_blocks(block_q, block_k, d, stable=stable, group=group)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     # fold sm_scale * log2(e) into q: the kernel softmax runs in the log2
