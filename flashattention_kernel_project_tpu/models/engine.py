@@ -209,13 +209,13 @@ def extend(
     to the full prefix (per-slot lengths + offsets via the ragged kernel).
     tokens [B, T]. Returns (last-position logits, cache).
 
-    Int8 caches are dequantized on the fly for the prefix attention (the
-    chunk path optimizes for flexibility; steady-state decode stays fused).
+    Int8 caches attend via the fused-dequant ragged kernel — the 8-bit
+    prefix stream never materializes in full precision in HBM.
     """
     from flashattention_kernel_project_tpu.ops.flash_attention import (
         flash_attention_ragged,
+        flash_attention_ragged_kv_quant,
     )
-    from flashattention_kernel_project_tpu.ops.quant import dequantize_int8
 
     b, t = tokens.shape
     x = params["embed"][tokens]
@@ -238,24 +238,24 @@ def extend(
             cache_view, i, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
             cache.lengths,
         )
-        if cache.quantized:
-            k_full = dequantize_int8(k_all[i], ks_all[i], cfg.dtype)
-            v_full = dequantize_int8(v_all[i], vs_all[i], cfg.dtype)
-        else:
-            k_full, v_full = k_all[i], v_all[i]
-
-        o = flash_attention_ragged(
-            q.transpose(0, 2, 1, 3).astype(cfg.dtype),
-            k_full,
-            v_full,
-            new_lengths,
-            cache.lengths,
+        qh = q.transpose(0, 2, 1, 3).astype(cfg.dtype)
+        ragged_kw = dict(
             causal=True,
             block_q=min(cfg.block_q, max(t, 8)),
-            block_k=min(cfg.block_k, k_full.shape[2]),
+            block_k=min(cfg.block_k, k_all[i].shape[2]),
             interpret=interpret,
             stable=cfg.attn_stable,
         )
+        if cache.quantized:
+            o = flash_attention_ragged_kv_quant(
+                qh, k_all[i], ks_all[i], v_all[i], vs_all[i],
+                new_lengths, cache.lengths, **ragged_kw,
+            )
+        else:
+            o = flash_attention_ragged(
+                qh, k_all[i], v_all[i], new_lengths, cache.lengths,
+                **ragged_kw,
+            )
         x = x + o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"]
         x = tfm._mlp_block(layer, x)
 

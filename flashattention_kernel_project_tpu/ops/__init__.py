@@ -18,6 +18,8 @@ from flashattention_kernel_project_tpu.ops.flash_attention import (  # noqa: F40
     flash_attention,
     flash_attention_with_lse,
     flash_attention_ragged,
+    flash_attention_kv_quant,
+    flash_attention_ragged_kv_quant,
 )
 from flashattention_kernel_project_tpu.ops.flash_decode import (  # noqa: F401
     flash_decode,

@@ -51,11 +51,13 @@ from flashattention_kernel_project_tpu.utils.platform import default_interpret
 # the per-q-block (m, l, acc) init/finish passes and KV revisits; measured
 # 109 vs 101 TF against (512, 1024) at 4K/d128 causal (3 fresh-process
 # rounds), and best at d<=64 too. bk=2048 and bq=256 are clearly worse.
-# stable=False, d>=128 -> (512, 1024): with the max bookkeeping gone the
+# stable=False, d > 64 -> (512, 1024): with the max bookkeeping gone the
 # kernel is no longer VPU-dominated and the smaller q block wins (139 vs
-# 124 TF in the same process; ordering reproduced across processes). At
-# d<=64 the q block is half the VMEM/MXU footprint and bq=1024 stays ahead
-# under both disciplines (65.0 vs 62.0 TF measured at 4K causal).
+# 124 TF in the same process; ordering reproduced across processes;
+# measured at d=128 — intermediate dims 64<d<128 are assumed to behave
+# like d=128, the nearer MXU-tile regime). At d<=64 the q block is half
+# the VMEM/MXU footprint and bq=1024 stays ahead under both disciplines
+# (65.0 vs 62.0 TF measured at 4K causal).
 DEFAULT_BLOCK_Q = None
 DEFAULT_BLOCK_K = None
 
@@ -79,15 +81,7 @@ _LN2 = 0.6931471805599453
 
 
 def _fwd_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    lse_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,
     n_kv: int,
     causal: bool,
     q_offset: int,
@@ -97,7 +91,20 @@ def _fwd_kernel(
     num_sub: int,
     pipeline_subs: bool,
     stable: bool,
+    quant: bool = False,
 ):
+    # quant=True adds per-token dequant scale refs for an 8-bit KV cache
+    # (int8 / fp8_e4m3): dequant is fused at the K/V load stage — the slot
+    # where the reference does cp.async (SURVEY Phase 4). K's scale lands on
+    # the f32 score tile AFTER the matmul; V's scale folds into the exp
+    # weights — both keep the MXU matmuls unscaled (same discipline as
+    # flash_decode's _decode_kernel_int8).
+    if quant:
+        (q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, lse_ref,
+         m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        ks_ref = vs_ref = None
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
     # NOTE: bf16 score tiles were tried and are impossible — Mosaic requires
@@ -109,7 +116,13 @@ def _fwd_kernel(
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        # stable=False keeps m == 0 for its whole life (fixed-max: the
+        # finish epilogue computes lse = log(l) + m*ln2 with m = 0); the
+        # online path starts the running max at -inf
+        m_scr[:] = (
+            jnp.zeros_like(m_scr) if not stable
+            else jnp.full_like(m_scr, NEG_INF)
+        )
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -134,6 +147,14 @@ def _fwd_kernel(
         q = q_ref[0, 0]  # [block_q, d]
         k = k_ref[0, 0]  # [block_k, d]
         v = v_ref[0, 0]  # [block_k, d_v]
+        if quant:
+            # 8-bit -> compute-dtype cast in VMEM; the HBM stream stays 8-bit
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
+            ks = ks_ref[0, 0]  # [1, block_k] f32 per-token K scale
+            # V's per-token scale multiplies the exp weights (compute dtype,
+            # packed 2x on the VPU for bf16)
+            vs = vs_ref[0, 0].astype(v.dtype)  # [1, block_k]
 
         # Issue ALL QK^T sub-dots before any VPU work: the MXU runs ahead of
         # the softmax chain, and PV(i) overlaps softmax(i+1) — the TPU
@@ -150,6 +171,14 @@ def _fwd_kernel(
             )
             for i in range(num_sub)
         ]
+        if quant:
+            # per-token K dequant scale on the f32 score tile (q already
+            # carries sm_scale * log2e, so the product is the log2-domain
+            # score of the dequantized keys)
+            s_parts = [
+                s_i * ks[:, i * sub : (i + 1) * sub]
+                for i, s_i in enumerate(s_parts)
+            ]
 
         # Tail mask (padded keys) and causal mask, both as iota compares.
         # Only the `masked` instantiation pays these VPU passes; interior
@@ -173,8 +202,17 @@ def _fwd_kernel(
                     cm = col <= row
                     mask = cm if mask is None else jnp.logical_and(mask, cm)
                 s_parts[i] = jnp.where(mask, s_parts[i], NEG_INF)
-                if zero_after_exp:
+                if zero_after_exp and stable:
+                    # only the online path needs the post-exp zeroing (its
+                    # m carry can be NEG_INF -> exp(0) = 1 on dead rows);
+                    # fixed-max exp2(NEG_INF) is already exact 0
                     masks[i] = mask
+
+        def _pv_w(p, i):
+            # fused V dequant: exp weights scaled by the per-token V scale
+            # right before the PV matmul (l sums the UNSCALED p — the
+            # denominator belongs to the dequantized scores already)
+            return p * vs[:, i * sub : (i + 1) * sub] if quant else p
 
         # exp computed at the PV matmul's input precision: for bf16 inputs
         # this packs 2x on the VPU and skips the separate f32->bf16 convert
@@ -187,24 +225,22 @@ def _fwd_kernel(
             # reduce AND the carry rescale entirely — p = exp2(s) directly,
             # sound while s stays within exp2's bf16 range (|s_nat| < ~80;
             # see flash_attention's `stable` docstring). Masked lanes are
-            # NEG_INF -> exp2 flushes to exact 0.
+            # NEG_INF -> exp2 flushes to exact 0, so no post-exp zeroing is
+            # needed on any instantiation; m stays 0 from _init.
             l_c = l_scr[:]
             for i, s_i in enumerate(s_parts):
                 p = exp_(s_i.astype(v.dtype))
-                if masks[i] is not None:
-                    p = jnp.where(masks[i], p, jnp.zeros_like(p))
                 l_c = l_c + jnp.sum(
                     p, axis=-1, keepdims=True, dtype=jnp.float32
                 )
                 acc = acc + jax.lax.dot_general(
-                    p,
+                    _pv_w(p, i),
                     v[i * sub : (i + 1) * sub],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=_precision(v.dtype),
                 )
             l_scr[:] = l_c
-            m_scr[:] = jnp.zeros_like(m_scr)  # lse = log(l) + m*ln2, m = 0
             acc_scr[:] = acc
             return
         if pipeline_subs:
@@ -227,7 +263,7 @@ def _fwd_kernel(
                     p, axis=-1, keepdims=True, dtype=jnp.float32
                 )
                 pv = jax.lax.dot_general(
-                    p,
+                    _pv_w(p, i),
                     v[i * sub : (i + 1) * sub],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -257,7 +293,7 @@ def _fwd_kernel(
                     p, axis=-1, keepdims=True, dtype=jnp.float32
                 )
                 pv = jax.lax.dot_general(
-                    p,
+                    _pv_w(p, i),
                     v[i * sub : (i + 1) * sub],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -313,7 +349,10 @@ def _fwd(
     num_sub: int = 1,
     pipeline_subs: bool = True,
     stable: bool = True,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
 ):
+    quant = k_scale is not None
     if interpret is None:
         interpret = default_interpret()
     b, hq, n, d = q.shape
@@ -338,6 +377,16 @@ def _fwd(
     if pad_k:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    if quant:
+        # per-token scales arrive [B, Hkv, S, 1]; relayout lane-major
+        # [B, Hkv, 1, S] so the kernel broadcasts one scale row across the
+        # score tile's lanes (same layout as flash_decode's int8 path).
+        # Padded keys get scale 0 (their scores are tail-masked anyway).
+        k_scale = k_scale.reshape(b, hkv, 1, s).astype(jnp.float32)
+        v_scale = v_scale.reshape(b, hkv, 1, s).astype(jnp.float32)
+        if pad_k:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, 0), (0, pad_k)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, 0), (0, pad_k)))
     np_, sp = q.shape[2], k.shape[2]
     n_q, n_kv = np_ // block_q, sp // block_k
     if block_k % num_sub:
@@ -354,19 +403,24 @@ def _fwd(
         num_sub=num_sub,
         pipeline_subs=pipeline_subs,
         stable=stable,
+        quant=quant,
     )
+    kv_map = lambda bb, h, i, j: (bb, h // group, j, 0)  # noqa: E731
+    scale_map = lambda bb, h, i, j: (bb, h // group, 0, j)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), lambda bb, h, i, j: (bb, h, i, 0)),
+        pl.BlockSpec((1, 1, block_k, d), kv_map),
+        pl.BlockSpec((1, 1, block_k, d_v), kv_map),
+    ]
+    operands = [q, k, v]
+    if quant:
+        in_specs[2:2] = [pl.BlockSpec((1, 1, 1, block_k), scale_map)]
+        in_specs.append(pl.BlockSpec((1, 1, 1, block_k), scale_map))
+        operands = [q, k, k_scale, v, v_scale]
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, hq, n_q, n_kv),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, i, j: (bb, h, i, 0)),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda bb, h, i, j: (bb, h // group, j, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d_v), lambda bb, h, i, j: (bb, h // group, j, 0)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d_v), lambda bb, h, i, j: (bb, h, i, 0)),
             pl.BlockSpec((1, 1, block_q, 1), lambda bb, h, i, j: (bb, h, i, 0)),
@@ -394,7 +448,7 @@ def _fwd(
             transcendentals=b * hq * np_ * sp,
         ),
         interpret=interpret,
-    )(q, k, v)
+    )(*operands)
     return out[:, :, :n], lse[:, :, :n, 0]
 
 
@@ -406,24 +460,25 @@ def _fwd(
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel_ragged(
-    len_ref,  # SMEM [B, 1] int32: valid KV tokens per batch row
-    off_ref,  # SMEM [B, 1] int32: causal query-position offset per batch row
-    q_ref,
-    k_ref,
-    v_ref,
-    o_ref,
-    lse_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,
     n_kv: int,
     sm_scale: float,
     causal: bool,
     block_q: int,
     block_k: int,
     stable: bool,
+    quant: bool = False,
 ):
+    # refs: len_ref/off_ref are SMEM [B, 1] int32 (valid KV tokens and
+    # causal query-position offset per batch row); quant=True adds lane-major
+    # per-token dequant scale refs for an 8-bit KV cache (see _fwd_kernel).
+    if quant:
+        (len_ref, off_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        (len_ref, off_ref, q_ref, k_ref, v_ref,
+         o_ref, lse_ref, m_scr, l_scr, acc_scr) = refs
+        ks_ref = vs_ref = None
     b = pl.program_id(0)
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -448,11 +503,17 @@ def _fwd_kernel_ragged(
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
+        if quant:
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
         )
+        if quant:
+            s = s * ks_ref[0, 0]  # [1, block_k] per-token K dequant scale
+            vs = vs_ref[0, 0].astype(v.dtype)
 
         mask = None
         if masked:
@@ -480,7 +541,7 @@ def _fwd_kernel_ragged(
             )
             m_scr[:] = jnp.zeros_like(m_scr)  # lse = log(l) + m*ln2
             acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
+                p * vs if quant else p, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_precision(v.dtype),
             )
@@ -503,7 +564,7 @@ def _fwd_kernel_ragged(
         m_scr[:] = m_next
         l_scr[:] = l_next
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p * vs if quant else p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(v.dtype),
         )
@@ -532,6 +593,106 @@ def _fwd_kernel_ragged(
         o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
         lse = m_scr[:, :1] * _LN2 + jnp.log(safe_l)
         lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, lse)
+
+
+def _fwd_ragged(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_lens: jax.Array,
+    q_offsets: jax.Array,
+    causal: bool,
+    sm_scale: float | None,
+    block_q: int | None,
+    block_k: int | None,
+    interpret: bool | None,
+    stable: bool,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
+) -> jax.Array:
+    quant = k_scale is not None
+    if interpret is None:
+        interpret = default_interpret()
+    b, hq, n, d = q.shape
+    _, hkv, s, _ = k.shape
+    d_v = v.shape[-1]
+    group = hq // hkv
+    block_q, block_k = _auto_blocks(block_q, block_k, d, stable=stable, group=group)
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+    # fold sm_scale * log2(e) into q: the kernel softmax runs in the log2
+    # domain and skips the per-score scale multiply (same as the dense path)
+    q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+    block_q = min(block_q, max(n, 8))
+    block_k = min(block_k, max(s, 128))
+    pad_q = (-n) % block_q
+    pad_k = (-s) % block_k
+    if pad_q:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+    if pad_k:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+    if quant:
+        # lane-major scale relayout + zero-pad, as in the dense path
+        k_scale = k_scale.reshape(b, hkv, 1, s).astype(jnp.float32)
+        v_scale = v_scale.reshape(b, hkv, 1, s).astype(jnp.float32)
+        if pad_k:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, 0), (0, pad_k)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, 0), (0, pad_k)))
+    np_, sp = q.shape[2], k.shape[2]
+    n_q, n_kv = np_ // block_q, sp // block_k
+
+    kernel = functools.partial(
+        _fwd_kernel_ragged,
+        n_kv=n_kv,
+        sm_scale=sm_scale,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        stable=stable,
+        quant=quant,
+    )
+    kv_map = lambda bb, h, i, j: (bb, h // group, j, 0)  # noqa: E731
+    scale_map = lambda bb, h, i, j: (bb, h // group, 0, j)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((b, 1), lambda bb, h, i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((b, 1), lambda bb, h, i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, block_q, d), lambda bb, h, i, j: (bb, h, i, 0)),
+        pl.BlockSpec((1, 1, block_k, d), kv_map),
+        pl.BlockSpec((1, 1, block_k, d_v), kv_map),
+    ]
+    operands = [
+        kv_lens.reshape(b, 1).astype(jnp.int32),
+        q_offsets.reshape(b, 1).astype(jnp.int32),
+        q, k, v,
+    ]
+    if quant:
+        in_specs[4:4] = [pl.BlockSpec((1, 1, 1, block_k), scale_map)]
+        in_specs.append(pl.BlockSpec((1, 1, 1, block_k), scale_map))
+        operands = operands[:4] + [k_scale, operands[4], v_scale]
+    out, _ = pl.pallas_call(
+        kernel,
+        grid=(b, hq, n_q, n_kv),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d_v), lambda bb, h, i, j: (bb, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bb, h, i, j: (bb, h, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, np_, d_v), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, np_, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d_v), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*operands)
+    return out[:, :, :n]
 
 
 @functools.partial(
@@ -565,76 +726,47 @@ def flash_attention_ragged(
     contract as flash_attention's `stable`; +18% measured on the dense
     kernel) — for serving stacks whose logit range is known.
     """
-    if interpret is None:
-        interpret = default_interpret()
-    b, hq, n, d = q.shape
-    _, hkv, s, _ = k.shape
-    d_v = v.shape[-1]
-    group = hq // hkv
-    block_q, block_k = _auto_blocks(block_q, block_k, d, stable=stable, group=group)
-    if sm_scale is None:
-        sm_scale = 1.0 / (d ** 0.5)
-    # fold sm_scale * log2(e) into q: the kernel softmax runs in the log2
-    # domain and skips the per-score scale multiply (same as the dense path)
-    q = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
-    block_q = min(block_q, max(n, 8))
-    block_k = min(block_k, max(s, 128))
-    pad_q = (-n) % block_q
-    pad_k = (-s) % block_k
-    if pad_q:
-        q = jnp.pad(q, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
-    if pad_k:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
-    np_, sp = q.shape[2], k.shape[2]
-    n_q, n_kv = np_ // block_q, sp // block_k
+    return _fwd_ragged(
+        q, k, v, kv_lens, q_offsets, causal, sm_scale, block_q, block_k,
+        interpret, stable,
+    )
 
-    kernel = functools.partial(
-        _fwd_kernel_ragged,
-        n_kv=n_kv,
-        sm_scale=sm_scale,
-        causal=causal,
-        block_q=block_q,
-        block_k=block_k,
-        stable=stable,
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "block_q", "block_k", "interpret", "stable",
+    ),
+)
+def flash_attention_ragged_kv_quant(
+    q: jax.Array,
+    k_q: jax.Array,
+    k_scale: jax.Array,
+    v_q: jax.Array,
+    v_scale: jax.Array,
+    kv_lens: jax.Array,
+    q_offsets: jax.Array,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    block_q: int | None = DEFAULT_BLOCK_Q,
+    block_k: int | None = DEFAULT_BLOCK_K,
+    interpret: bool | None = None,
+    stable: bool = True,
+) -> jax.Array:
+    """flash_attention_ragged against an 8-bit quantized KV cache.
+
+    k_q/v_q: [B, Hkv, S_max, D] int8 OR float8_e4m3fn; k_scale/v_scale:
+    [B, Hkv, S_max, 1] f32 per-token scales (ops.quant.quantize_kv /
+    the engine's int8 cache layout). Dequant is fused at the kernel's K/V
+    load stage — the 8-bit cache never materializes in full precision in
+    HBM (SURVEY Phase 4; the reference's cp.async load slot). The chunked
+    prefill path (models.engine.extend) uses this for quantized caches.
+    """
+    return _fwd_ragged(
+        q, k_q, v_q, kv_lens, q_offsets, causal, sm_scale, block_q, block_k,
+        interpret, stable, k_scale=k_scale, v_scale=v_scale,
     )
-    out, _ = pl.pallas_call(
-        kernel,
-        grid=(b, hq, n_q, n_kv),
-        in_specs=[
-            pl.BlockSpec((b, 1), lambda bb, h, i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, 1), lambda bb, h, i, j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, i, j: (bb, h, i, 0)),
-            pl.BlockSpec(
-                (1, 1, block_k, d), lambda bb, h, i, j: (bb, h // group, j, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d_v), lambda bb, h, i, j: (bb, h // group, j, 0)
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d_v), lambda bb, h, i, j: (bb, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda bb, h, i, j: (bb, h, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hq, np_, d_v), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, np_, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d_v), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(
-        kv_lens.reshape(b, 1).astype(jnp.int32),
-        q_offsets.reshape(b, 1).astype(jnp.int32),
-        q, k, v,
-    )
-    return out[:, :, :n]
 
 
 # ---------------------------------------------------------------------------
@@ -1122,3 +1254,44 @@ def flash_attention_with_lse(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
         num_sub, stable=stable,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "causal", "sm_scale", "q_offset", "block_q", "block_k", "interpret",
+        "stable",
+    ),
+)
+def flash_attention_kv_quant(
+    q: jax.Array,
+    k_q: jax.Array,
+    k_scale: jax.Array,
+    v_q: jax.Array,
+    v_scale: jax.Array,
+    *,
+    causal: bool = False,
+    sm_scale: float | None = None,
+    q_offset: int = 0,
+    block_q: int | None = DEFAULT_BLOCK_Q,
+    block_k: int | None = DEFAULT_BLOCK_K,
+    interpret: bool | None = None,
+    stable: bool = True,
+) -> jax.Array:
+    """Fused forward attention against an 8-bit quantized KV cache.
+
+    k_q/v_q: [B, Hkv, S, D] int8 OR float8_e4m3fn (per-token symmetric
+    scales from ops.quant.quantize_kv: k_scale/v_scale [B, Hkv, S, 1] f32).
+    Dequant is fused at the kernel's K/V load stage — the KV stream across
+    HBM stays 8-bit (half the bf16 bytes), the in-VMEM cast feeds the MXU,
+    K's scale lands on the f32 score tile after QK^T, V's scale folds into
+    the exp weights (SURVEY Phase 4; the slot where the reference's
+    cp.async double-buffer sits, flashattn_forward_wmma_v5_cp_async.cu:
+    229-251). Forward-only (serving/long-context prefill: BASELINE
+    config 5's "seq 32K, INT8 KV-cache" shape). Returns [B, Hq, N, Dv].
+    """
+    out, _ = _fwd(
+        q, k_q, v_q, causal, sm_scale, q_offset, block_q, block_k,
+        interpret, stable=stable, k_scale=k_scale, v_scale=v_scale,
+    )
+    return out

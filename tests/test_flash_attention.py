@@ -315,3 +315,91 @@ def test_flash_forward_num_sub(rng, num_sub, pipe):
     )
     want = oracles.gqa_attention(q, k, v, causal=True)
     assert_rel_l2(np.asarray(out), want, tol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# KV-quantized forward (fused dequant at the K/V load stage — SURVEY Phase 4)
+# ---------------------------------------------------------------------------
+
+def _dequant_kv(k_q, k_s, v_q, v_s):
+    kd = np.asarray(k_q, np.float32) * np.asarray(k_s, np.float32)
+    vd = np.asarray(v_q, np.float32) * np.asarray(v_s, np.float32)
+    return kd, vd
+
+
+@pytest.mark.parametrize("stable", [True, False])
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_kv_quant_int8(rng, causal, stable):
+    """Dense forward vs the oracle on the DEQUANTIZED cache (same-bit-width
+    comparison per BASELINE's numerics gate), tail block + GQA included."""
+    q, k, v = _rand_qkv(rng, 2, 4, 2, 128, 320, 64)  # 320 % 128 -> tail
+    k_q, k_s, v_q, v_s = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
+    got = ops.flash_attention_kv_quant(
+        jnp.asarray(q), k_q, k_s, v_q, v_s,
+        causal=causal, block_q=128, block_k=128, stable=stable,
+    )
+    kd, vd = _dequant_kv(k_q, k_s, v_q, v_s)
+    exp = oracles.gqa_attention(q, kd, vd, causal=causal)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
+def test_flash_kv_quant_fp8(rng):
+    """fp8_e4m3 cache shares the kernel (8-bit cast + per-token scales)."""
+    q, k, v = _rand_qkv(rng, 1, 4, 4, 64, 256, 32)
+    k_q, k_s, v_q, v_s = ops.quantize_kv(
+        jnp.asarray(k), jnp.asarray(v), fmt="fp8"
+    )
+    assert k_q.dtype == jnp.float8_e4m3fn
+    got = ops.flash_attention_kv_quant(
+        jnp.asarray(q), k_q, k_s, v_q, v_s,
+        causal=True, block_q=64, block_k=128,
+    )
+    kd, vd = _dequant_kv(k_q, k_s, v_q, v_s)
+    exp = oracles.gqa_attention(q, kd, vd, causal=True)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
+def test_flash_kv_quant_matches_bf16_path(rng):
+    """The fused-dequant kernel must agree with running the plain kernel on
+    the dequantized arrays (kernel-vs-kernel, isolates the quant plumbing)."""
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 96, 160, 32)
+    k_q, k_s, v_q, v_s = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
+    got = ops.flash_attention_kv_quant(
+        jnp.asarray(q), k_q, k_s, v_q, v_s,
+        causal=True, block_q=32, block_k=64,
+    )
+    kd, vd = _dequant_kv(k_q, k_s, v_q, v_s)
+    ref = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(kd), jnp.asarray(vd),
+        causal=True, block_q=32, block_k=64,
+    )
+    assert_rel_l2(got, np.asarray(ref), tol=1e-3)
+
+
+@pytest.mark.parametrize("stable", [True, False])
+def test_flash_ragged_kv_quant(rng, stable):
+    """Ragged fused-dequant kernel: per-batch lengths/offsets against a live
+    int8 cache — the engine.extend path — incl. a zero-length row."""
+    b, hq, hkv, n, s, d = 3, 4, 2, 64, 160, 32
+    q = rng.standard_normal((b, hq, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    kv_lens = np.array([160, 100, 0], np.int32)
+    q_offsets = np.array([96, 36, 0], np.int32)
+    k_q, k_s, v_q, v_s = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
+
+    got = np.asarray(ops.flash_attention_ragged_kv_quant(
+        jnp.asarray(q), k_q, k_s, v_q, v_s,
+        jnp.asarray(kv_lens), jnp.asarray(q_offsets),
+        causal=True, block_q=32, block_k=32, stable=stable,
+    ))
+    assert np.isfinite(got).all()
+    assert np.abs(got[2]).max() == 0.0  # dead row stays exact zeros
+    kd, vd = _dequant_kv(k_q, k_s, v_q, v_s)
+    for i in range(2):
+        exp = oracles.gqa_attention(
+            q[i : i + 1], kd[i : i + 1, :, : kv_lens[i]],
+            vd[i : i + 1, :, : kv_lens[i]],
+            causal=True, q_offset=int(q_offsets[i]),
+        )
+        assert_rel_l2(got[i : i + 1], exp, tol=1e-2)

@@ -171,3 +171,17 @@ def test_prefill_logits_match_forward(params):
     full = models.forward(CFG, params, tokens)
     assert_rel_l2(logits, np.asarray(full)[:, -1], tol=1e-3)
     assert np.all(np.asarray(cache2.lengths) == 12)
+
+
+def test_extend_quantized_cache(params):
+    """Chunked prefill against an int8 cache runs the fused-dequant ragged
+    kernel (no HBM dequant copy) and must track the full-precision forward
+    within int8-cache error."""
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (2, 24), 0, CFG.vocab_size)
+    cache = models.init_cache(CFG, 2, 64, quantized=True)
+    _, cache = models.prefill(CFG, params, tokens[:, :16], cache)
+    logits, cache = models.extend(CFG, params, tokens[:, 16:], cache)
+
+    full = models.forward(CFG, params, tokens)
+    assert_rel_l2(logits, np.asarray(full)[:, -1], tol=5e-2)
+    assert np.all(np.asarray(cache.lengths) == 24)
