@@ -77,6 +77,20 @@ def build_benches(quick: bool, long: bool = False):
         functools.partial(ops.matmul_int8_weights, out_dtype=jnp.bfloat16),
         (a16, w8, w8s), flops=2 * m**3)
 
+    # BASELINE.json config: "tensorcore_gemm_batched with fused
+    # scale+bias+softmax epilogue (B=32, M=N=K=2048)"
+    bs, ms = 32, 2048
+    a_sm = jnp.asarray(rng.standard_normal((bs, ms, ms)), dtype=jnp.bfloat16)
+    b_sm = jnp.asarray(rng.standard_normal((bs, ms, ms)), dtype=jnp.bfloat16)
+    bias_sm = jnp.asarray(rng.standard_normal(ms), dtype=jnp.float32)
+    reg("gemm_batched_softmax_epilogue_bf16_32x2048",
+        functools.partial(
+            ops.batched_matmul_softmax_epilogue,
+            scale=0.125, out_dtype=jnp.bfloat16,
+        ),
+        (a_sm, b_sm, bias_sm), flops=2 * bs * ms**3,
+        chain=lambda out, args: (args[0], out.swapaxes(1, 2), args[2]))
+
     # --- softmax (reference section 2.2) -----------------------------------
     rows, cols = 8192, 4096
     x = jnp.asarray(rng.standard_normal((rows, cols)), dtype=jnp.float32)
@@ -122,6 +136,9 @@ def build_benches(quick: bool, long: bool = False):
         reg(f"flashattn_fwd_causal_d128_seq{seq_k}k",
             functools.partial(ops.flash_attention, causal=True),
             (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5))
+        reg(f"flashattn_fwd_causal_d128_seq{seq_k}k_fast",
+            functools.partial(ops.flash_attention, causal=True, stable=False),
+            (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5))
     D64 = 64
     q64 = jnp.asarray(rng.standard_normal((B, H, N, D64)), jnp.bfloat16)
     k64 = jnp.asarray(rng.standard_normal((B, HKV, N, D64)), jnp.bfloat16)
@@ -129,6 +146,28 @@ def build_benches(quick: bool, long: bool = False):
     reg("flashattn_fwd_causal_d64_seq4k",
         functools.partial(ops.flash_attention, causal=True),
         (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5))
+
+    # KV-quantized prefill (fused in-kernel dequant): 4K point, plus the
+    # BASELINE config-5 shape (GQA 32/8 heads, d=128, seq 32K, INT8 KV)
+    # under --long. chain: q <- out (cache operands stay int8).
+    kq4, ks4, vq4, vs4 = ops.quantize_kv(k, v)
+    reg("flashattn_fwd_causal_d128_seq4k_kvq_int8",
+        functools.partial(ops.flash_attention_kv_quant, causal=True,
+                          stable=False),
+        (q, kq4, ks4, vq4, vs4), flops=int(4 * B * H * N * N * D * 0.5),
+        chain=lambda out, args: (out,) + tuple(args[1:]))
+    if long:
+        H5, HKV5, N5 = 32, 8, 32768
+        q5 = jnp.asarray(rng.standard_normal((1, H5, N5, D)), jnp.bfloat16)
+        k5 = jnp.asarray(rng.standard_normal((1, HKV5, N5, D)), jnp.bfloat16)
+        v5 = jnp.asarray(rng.standard_normal((1, HKV5, N5, D)), jnp.bfloat16)
+        kq5, ks5, vq5, vs5 = ops.quantize_kv(k5, v5)
+        reg("flashattn_fwd_causal_d128_seq32k_gqa32-8_kvq_int8",
+            functools.partial(ops.flash_attention_kv_quant, causal=True,
+                              stable=False),
+            (q5, kq5, ks5, vq5, vs5),
+            flops=int(4 * 1 * H5 * N5 * N5 * D * 0.5),
+            pair=(2, 6) if quick else (4, 12))
 
     # --- decode (streaming section 2.6 analog; bandwidth-bound) ------------
     DB, DS = 8, 8192

@@ -4,6 +4,7 @@ from flashattention_kernel_project_tpu.ops.gemm import (  # noqa: F401
     matmul_bf16,
     batched_matmul,
     matmul_fused_epilogue,
+    batched_matmul_softmax_epilogue,
 )
 from flashattention_kernel_project_tpu.ops.softmax import (  # noqa: F401
     softmax,

@@ -307,3 +307,110 @@ def matmul_fused_epilogue(
         interpret=interpret,
     )(a, b, bias2d, residual)
     return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
+# Rung 6: batched GEMM with fused scale+bias+softmax epilogue
+# ---------------------------------------------------------------------------
+
+def _batched_softmax_epilogue_kernel(
+    a_ref, b_ref, bias_ref, o_ref, acc_ref, *, n_k, scale, n_valid, block_n
+):
+    k = pl.program_id(3)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        a_ref[0],
+        b_ref[0],
+        preferred_element_type=jnp.float32,
+        precision=_precision(a_ref.dtype),
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        z = acc_ref[:] * scale + bias_ref[:].astype(jnp.float32)
+        if n_valid < block_n:
+            # zero-padded output columns must not join the row softmax
+            col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+            z = jnp.where(col < n_valid, z, -jnp.inf)
+        z = z - jnp.max(z, axis=-1, keepdims=True)
+        e = jnp.exp(z)
+        o_ref[0] = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_m", "block_k", "out_dtype", "interpret"),
+)
+def batched_matmul_softmax_epilogue(
+    a: jax.Array,
+    b: jax.Array,
+    bias: jax.Array,
+    *,
+    scale: float = 1.0,
+    block_m: int = 512,
+    block_k: int = 512,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """C[i] = softmax(scale * (A[i] @ B[i]) + bias[col], rows) — the batched
+    tensor-core GEMM with the softmax fused into the epilogue (BASELINE.json
+    config "tensorcore_gemm_batched with fused scale+bias+softmax epilogue";
+    the reference's nearest rungs are the fused-epilogue GEMM
+    tensorcore_gemm_fused_epilogue.cu:53-130 and the fused block-softmax
+    attention flashattn_fused_softmax_block.cu:61-208, which also holds the
+    whole score row on-chip).
+
+    a: [B, M, K], b: [B, K, N], bias: [N]. The full output row (all N
+    columns) lives in the fp32 VMEM accumulator so the row softmax runs
+    in-register before the single HBM store — no score matrix round-trip.
+    N is capped by VMEM (~block_m * N * 4 bytes); for streamed-KV softmax at
+    unbounded N use flash_attention's online discipline instead.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    bsz, m, k = a.shape
+    _, k2, n = b.shape
+    assert k == k2 and bias.shape == (n,), (a.shape, b.shape, bias.shape)
+    block_m = min(block_m, m)
+    block_k = min(block_k, k)
+    a = _pad_to(a, (block_m, block_k))
+    b = _pad_to(b, (block_k, 128))
+    bias2d = _pad_to(bias[None, :], (1, 128))
+    mp, kp = a.shape[1:]
+    np_ = b.shape[2]
+    n_k = kp // block_k
+
+    out = pl.pallas_call(
+        functools.partial(
+            _batched_softmax_epilogue_kernel,
+            n_k=n_k, scale=scale, n_valid=n, block_n=np_,
+        ),
+        grid=(bsz, mp // block_m, 1, n_k),
+        in_specs=[
+            pl.BlockSpec((1, block_m, block_k), lambda bb, i, j, kk: (bb, i, kk)),
+            pl.BlockSpec((1, block_k, np_), lambda bb, i, j, kk: (bb, kk, 0)),
+            pl.BlockSpec((1, np_), lambda bb, i, j, kk: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_m, np_), lambda bb, i, j, kk: (bb, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, np_), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * mp * np_ * kp,
+            bytes_accessed=(
+                bsz * (mp * kp + kp * np_) * a.dtype.itemsize
+                + bsz * mp * np_ * jnp.dtype(out_dtype).itemsize
+            ),
+            transcendentals=bsz * mp * np_,
+        ),
+        interpret=interpret,
+    )(a, b, bias2d)
+    return out[:, :m, :n]

@@ -55,3 +55,26 @@ def test_matmul_fused_epilogue(rng):
         block_m=128, block_n=128, block_k=64,
     )
     assert_max_abs(got, oracles.gemm_fused_epilogue(a, b, bias, res), tol=1e-2)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, "bf16"])
+def test_batched_matmul_softmax_epilogue(rng, dtype):
+    """Rung 6: softmax fused on the fp32 accumulator, whole row on-chip."""
+    b, m, k, n = 3, 96, 128, 160
+    a = rng.standard_normal((b, m, k)).astype(np.float32)
+    w = rng.standard_normal((b, k, n)).astype(np.float32)
+    bias = rng.standard_normal((n,)).astype(np.float32)
+    aj, wj = jnp.asarray(a), jnp.asarray(w)
+    if dtype == "bf16":
+        aj, wj = aj.astype(jnp.bfloat16), wj.astype(jnp.bfloat16)
+    got = ops.batched_matmul_softmax_epilogue(
+        aj, wj, jnp.asarray(bias), scale=0.125, block_m=32, block_k=64,
+    )
+    z = (np.einsum("bmk,bkn->bmn", a, w) * 0.125 + bias).astype(np.float64)
+    z = z - z.max(-1, keepdims=True)
+    e = np.exp(z)
+    exp = e / e.sum(-1, keepdims=True)
+    tol = 1e-2 if dtype == "bf16" else 1e-5
+    assert_rel_l2(np.asarray(got), exp.astype(np.float32), tol=tol)
+    # rows sum to one, padded columns excluded (n=160 pads to 256 lanes)
+    np.testing.assert_allclose(np.asarray(got).sum(-1), 1.0, rtol=1e-3)
