@@ -9,6 +9,7 @@ from flashattention_kernel_project_tpu.parallel.train import (  # noqa: F401
 )
 from flashattention_kernel_project_tpu.parallel.ring_attention import (  # noqa: F401
     ring_attention,
+    ring_attention_kv_quant,
     merge_normalized,
 )
 from flashattention_kernel_project_tpu.parallel.ulysses import (  # noqa: F401

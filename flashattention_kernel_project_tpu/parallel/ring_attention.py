@@ -111,3 +111,79 @@ def ring_attention(
             check_vma=False,
         )
     )
+
+
+def ring_attention_kv_quant(
+    mesh: Mesh,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    seq_axis: str = "sp",
+    data_axis: str | None = "data",
+    **kernel_kwargs,
+):
+    """Ring attention over an 8-bit (int8/fp8) sequence-sharded KV cache.
+
+    BASELINE config 5's shape: long-context INT8 KV sharded over the mesh.
+    Identical ring schedule to ring_attention, but each device holds and
+    ROTATES the quantized shard (values + per-token scales) — half the ICI
+    bytes per hop vs bf16 — and attends through the fused-dequant kernel
+    (ops.flash_attention_kv_quant_with_lse), so the shard is never
+    materialized in full precision anywhere.
+
+    Returns fn(q[B,Hq,N,D], k_q[B,Hkv,S,D] 8-bit, k_scale[B,Hkv,S,1],
+    v_q, v_scale) -> [B,Hq,N,Dv] (global lengths; shard_map slices).
+    """
+    from flashattention_kernel_project_tpu.ops.flash_attention import (
+        flash_attention_kv_quant_with_lse,
+    )
+
+    n_ring = mesh.shape[seq_axis]
+    b_axis = data_axis if (data_axis and data_axis in mesh.axis_names) else None
+    spec = P(b_axis, None, seq_axis, None)
+
+    def _local(q, kq, ks, vq, vs, *, local_causal):
+        o, lse = flash_attention_kv_quant_with_lse(
+            q, kq, ks, vq, vs, causal=local_causal, sm_scale=sm_scale,
+            **kernel_kwargs,
+        )
+        return o.astype(jnp.float32), lse
+
+    def _ring(q, kq, ks, vq, vs):
+        idx = jax.lax.axis_index(seq_axis)
+        perm = [(d, (d + 1) % n_ring) for d in range(n_ring)]
+
+        o, lse = _local(q, kq, ks, vq, vs, local_causal=causal)
+
+        kv = (kq, ks, vq, vs)
+        for t in range(1, n_ring):
+            # rotate the 8-bit shard first: the ICI hop overlaps the local
+            # fused-dequant attention below
+            kv_next = jax.lax.ppermute(kv, seq_axis, perm)
+            kq_t, ks_t, vq_t, vs_t = kv_next
+
+            if causal:
+                def _attend(q=q, kq_t=kq_t, ks_t=ks_t, vq_t=vq_t, vs_t=vs_t):
+                    return _local(q, kq_t, ks_t, vq_t, vs_t, local_causal=False)
+
+                def _skip(q=q):
+                    return (
+                        jnp.zeros(q.shape[:-1] + (vq_t.shape[-1],), jnp.float32),
+                        jnp.full(q.shape[:-1], NEG_INF, jnp.float32),
+                    )
+
+                o_t, lse_t = jax.lax.cond(idx >= t, _attend, _skip)
+            else:
+                o_t, lse_t = _local(q, kq_t, ks_t, vq_t, vs_t, local_causal=False)
+
+            o, lse = merge_normalized(o, lse, o_t, lse_t)
+            kv = kv_next
+
+        return o.astype(q.dtype)
+
+    return jax.jit(
+        shard_map(
+            _ring, mesh=mesh, in_specs=(spec,) * 5, out_specs=spec,
+            check_vma=False,
+        )
+    )

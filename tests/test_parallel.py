@@ -125,3 +125,31 @@ def test_merge_normalized_identity():
     o2, lse2 = parallel.merge_normalized(o, lse, o_e, lse_e)
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(lse2), np.asarray(lse), rtol=1e-6)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_kv_quant(rng, causal):
+    """Ring over int8 KV shards (values + per-token scales rotate) vs the
+    single-device fused-dequant kernel AND the dequantized-cache oracle."""
+    mesh = parallel.make_mesh({"sp": 8})
+    b, h, n, d = 1, 4, 256, 32
+    q = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    v = rng.standard_normal((b, h, n, d), dtype=np.float32)
+    k_q, k_s, v_q, v_s = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
+
+    fn = parallel.ring_attention_kv_quant(
+        mesh, causal=causal, data_axis=None, block_q=32, block_k=32
+    )
+    got = np.asarray(fn(jnp.asarray(q), k_q, k_s, v_q, v_s))
+
+    single = ops.flash_attention_kv_quant(
+        jnp.asarray(q), k_q, k_s, v_q, v_s, causal=causal,
+        block_q=32, block_k=32,
+    )
+    assert_rel_l2(got, np.asarray(single), tol=1e-3)
+
+    kd = np.asarray(k_q, np.float32) * np.asarray(k_s, np.float32)
+    vd = np.asarray(v_q, np.float32) * np.asarray(v_s, np.float32)
+    exp = oracles.gqa_attention(q, kd, vd, causal=causal)
+    assert_rel_l2(got, exp, tol=1e-2)
