@@ -507,19 +507,27 @@ def _sample(logits, temperature, key, step, top_k=None, top_p=None):
 # ---------------------------------------------------------------------------
 
 class PagedKVCache(NamedTuple):
-    """k_pages/v_pages: tuple of L arrays [n_pages, Hkv, page, D];
-    block_tables: [B, max_pages] int32 (shared across layers — pages are
-    allocated per sequence, each layer owns a same-shaped pool);
-    lengths: [B] int32."""
+    """k_pages/v_pages: tuple of L arrays [n_pages, Hkv, page, D] (cfg dtype,
+    or int8 for a quantized pool); block_tables: [B, max_pages] int32
+    (shared across layers — pages are allocated per sequence, each layer
+    owns a same-shaped pool); lengths: [B] int32; k/v_scale_pages: tuple of
+    L arrays [n_pages, Hkv, 1, page] f32 lane-major per-token scales (int8
+    pools only)."""
 
     k_pages: tuple
     v_pages: tuple
     block_tables: jax.Array
     lengths: jax.Array
+    k_scale_pages: tuple | None = None
+    v_scale_pages: tuple | None = None
 
     @property
     def page_size(self) -> int:
         return self.k_pages[0].shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_pages[0].dtype == jnp.int8
 
 
 def init_paged_cache(
@@ -529,14 +537,34 @@ def init_paged_cache(
     *,
     page_size: int = 128,
     max_pages_per_seq: int = 16,
+    quantized: bool = False,
 ) -> PagedKVCache:
+    """quantized=True stores int8 pages + lane-major per-token scale pages:
+    half the pool HBM -> 2x the page capacity at fixed memory (same capacity
+    trade as the linear int8 cache, init_cache)."""
     shape = (n_pages, cfg.n_kv_heads, page_size, cfg.d_head)
     L = cfg.n_layers
+    tables = jnp.zeros((batch, max_pages_per_seq), jnp.int32)
+    lengths = jnp.zeros((batch,), jnp.int32)
+    if quantized:
+        s_shape = (n_pages, cfg.n_kv_heads, 1, page_size)
+        return PagedKVCache(
+            k_pages=tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
+            v_pages=tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
+            block_tables=tables,
+            lengths=lengths,
+            k_scale_pages=tuple(
+                jnp.zeros(s_shape, jnp.float32) for _ in range(L)
+            ),
+            v_scale_pages=tuple(
+                jnp.zeros(s_shape, jnp.float32) for _ in range(L)
+            ),
+        )
     return PagedKVCache(
         k_pages=tuple(jnp.zeros(shape, cfg.dtype) for _ in range(L)),
         v_pages=tuple(jnp.zeros(shape, cfg.dtype) for _ in range(L)),
-        block_tables=jnp.zeros((batch, max_pages_per_seq), jnp.int32),
-        lengths=jnp.zeros((batch,), jnp.int32),
+        block_tables=tables,
+        lengths=lengths,
     )
 
 
@@ -565,6 +593,48 @@ def _scatter_pages(kp, vp, k_seq, v_seq, table_row, *, n_full, page, length):
     return kp, vp
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_full", "page", "length"),
+    donate_argnums=(0, 1, 2, 3),
+)
+def _scatter_pages_q(
+    kp, ksp, vp, vsp, k_seq, v_seq, table_row, *, n_full, page, length
+):
+    """Quantized variant of _scatter_pages: per-token int8 quantization of
+    the prefix, values into the int8 pages, scales into the lane-major
+    scale pages. Same donation discipline."""
+    k_q, k_s = quantize_int8(k_seq, axis=-1)   # [Hkv, T, D], [Hkv, T, 1]
+    v_q, v_s = quantize_int8(v_seq, axis=-1)
+    for j in range(n_full):
+        lo = j * page
+        hi = min(lo + page, length)
+        hkv = kp.shape[1]
+
+        def blk(vals, dtype):
+            b_ = jnp.zeros((hkv, page, vals.shape[-1]), dtype)
+            return b_.at[:, : hi - lo].set(vals[:, lo:hi].astype(dtype))
+
+        kp = jax.lax.dynamic_update_slice(
+            kp, blk(k_q, kp.dtype)[None], (table_row[j], 0, 0, 0)
+        )
+        vp = jax.lax.dynamic_update_slice(
+            vp, blk(v_q, vp.dtype)[None], (table_row[j], 0, 0, 0)
+        )
+        # scales: [Hkv, hi-lo, 1] -> lane-major [1, Hkv, 1, page]
+        def sblk(scales):
+            s_ = jnp.zeros((hkv, 1, page), jnp.float32)
+            return s_.at[:, 0, : hi - lo].set(scales[:, lo:hi, 0])
+
+        ksp = jax.lax.dynamic_update_slice(
+            ksp, sblk(k_s)[None], (table_row[j], 0, 0, 0)
+        )
+        vsp = jax.lax.dynamic_update_slice(
+            vsp, sblk(v_s)[None], (table_row[j], 0, 0, 0)
+        )
+    return kp, ksp, vp, vsp
+
+
 def paged_insert(
     cache: PagedKVCache,
     slot: int,
@@ -581,13 +651,26 @@ def paged_insert(
     n_full = -(-int(length) // page)
     k_pages = list(cache.k_pages)
     v_pages = list(cache.v_pages)
+    tables = cache.block_tables.at[slot].set(table_row)
+    lengths = cache.lengths.at[slot].set(length)
+    if cache.quantized:
+        ksp = list(cache.k_scale_pages)
+        vsp = list(cache.v_scale_pages)
+        for li in range(len(k_pages)):
+            k_pages[li], ksp[li], v_pages[li], vsp[li] = _scatter_pages_q(
+                k_pages[li], ksp[li], v_pages[li], vsp[li],
+                k_seq[li], v_seq[li], table_row,
+                n_full=n_full, page=page, length=int(length),
+            )
+        return PagedKVCache(
+            tuple(k_pages), tuple(v_pages), tables, lengths,
+            tuple(ksp), tuple(vsp),
+        )
     for li in range(len(k_pages)):
         k_pages[li], v_pages[li] = _scatter_pages(
             k_pages[li], v_pages[li], k_seq[li], v_seq[li], table_row,
             n_full=n_full, page=page, length=int(length),
         )
-    tables = cache.block_tables.at[slot].set(table_row)
-    lengths = cache.lengths.at[slot].set(length)
     return PagedKVCache(tuple(k_pages), tuple(v_pages), tables, lengths)
 
 
@@ -604,7 +687,9 @@ def decode_step_paged(
     Slots with length 0 are masked out (zero attention output)."""
     from flashattention_kernel_project_tpu.ops.paged_decode import (
         paged_append,
+        paged_append_quant,
         paged_flash_decode,
+        paged_flash_decode_quant,
     )
 
     b = tokens.shape[0]
@@ -612,6 +697,9 @@ def decode_step_paged(
     sin, cos = tfm.rope_tables(cfg, cache.lengths[:, None])
     k_pages = list(cache.k_pages)
     v_pages = list(cache.v_pages)
+    quant = cache.quantized
+    ksp = list(cache.k_scale_pages) if quant else None
+    vsp = list(cache.v_scale_pages) if quant else None
     new_lengths = cache.lengths + 1
     for i in range(cfg.n_layers):
         layer = jax.tree.map(lambda p: p[i], params["layers"])
@@ -619,21 +707,34 @@ def decode_step_paged(
         q, k, v = _qkv(cfg, layer, h, b, 1)
         q = tfm.apply_rope(q, sin, cos)
         k = tfm.apply_rope(k, sin, cos)
-        k_pages[i], v_pages[i] = paged_append(
-            k_pages[i], v_pages[i],
-            k[:, 0], v[:, 0],
-            cache.block_tables, cache.lengths,
-        )
-        o = paged_flash_decode(
-            q.reshape(b, cfg.n_heads, cfg.d_head).astype(cfg.dtype),
-            k_pages[i], v_pages[i],
-            cache.block_tables, new_lengths,
-            interpret=interpret,
-        )
+        qd = q.reshape(b, cfg.n_heads, cfg.d_head).astype(cfg.dtype)
+        if quant:
+            k_pages[i], ksp[i], v_pages[i], vsp[i] = paged_append_quant(
+                k_pages[i], ksp[i], v_pages[i], vsp[i],
+                k[:, 0], v[:, 0],
+                cache.block_tables, cache.lengths,
+            )
+            o = paged_flash_decode_quant(
+                qd, k_pages[i], ksp[i], v_pages[i], vsp[i],
+                cache.block_tables, new_lengths,
+                interpret=interpret,
+            )
+        else:
+            k_pages[i], v_pages[i] = paged_append(
+                k_pages[i], v_pages[i],
+                k[:, 0], v[:, 0],
+                cache.block_tables, cache.lengths,
+            )
+            o = paged_flash_decode(
+                qd, k_pages[i], v_pages[i],
+                cache.block_tables, new_lengths,
+                interpret=interpret,
+            )
         x = x + _proj(o.reshape(b, 1, cfg.q_dim), layer, "wo", x.dtype)
         x = _mlp(layer, x)
     x = tfm.rms_norm(x, params["rms_final"])
     logits = _lm_head(params, x[:, 0])
     return logits, PagedKVCache(
-        tuple(k_pages), tuple(v_pages), cache.block_tables, new_lengths
+        tuple(k_pages), tuple(v_pages), cache.block_tables, new_lengths,
+        tuple(ksp) if quant else None, tuple(vsp) if quant else None,
     )

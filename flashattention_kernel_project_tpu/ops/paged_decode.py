@@ -263,3 +263,232 @@ class PagePool:
         t = np.zeros(max_pages, np.int32)
         t[: len(pages)] = pages
         return t
+
+
+# ---------------------------------------------------------------------------
+# Quantized page pool: int8/fp8 pages + per-token scale pages, dequant fused
+# into the page load (the linear-cache analog is flash_decode_int8; same
+# discipline — K's scale on the score row post-matmul, V's scale folded into
+# the exp weights, MXU matmuls unscaled).
+# ---------------------------------------------------------------------------
+
+def _paged_decode_kernel_q(
+    table_ref,  # scalar-prefetch [B, max_pages] int32 page ids
+    len_ref,    # scalar-prefetch [B] int32 sequence lengths
+    q_ref,      # [1, 1, GP, D]
+    k_ref,      # [1, 1, page, D] int8/fp8 — page selected by the index map
+    ks_ref,     # [1, 1, 1, page] f32 per-token K scale (lane-major)
+    v_ref,
+    vs_ref,
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    page_size: int,
+    max_pages: int,
+):
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    length = len_ref[b]
+
+    @pl.when(p == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    live = p * page_size < length
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]                  # [GP, D]
+        k = k_ref[0, 0].astype(q.dtype)  # 8-bit page cast in VMEM
+        v = v_ref[0, 0].astype(q.dtype)
+        ks = ks_ref[0, 0]                # [1, page] f32
+        vs = vs_ref[0, 0].astype(q.dtype)
+        gp = q.shape[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * ks
+        col = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (gp, page_size), 1
+        )
+        s = jnp.where(col < length, s, NEG_INF)
+        m_prev = m_scr[:]
+        m_tile = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_tile)
+        scale = jnp.exp2(m_prev - m_next)
+        e = jnp.exp2((s - m_next[:, :1]).astype(v.dtype))
+        l_scr[:] = l_scr[:] * scale + jnp.sum(
+            e, axis=-1, keepdims=True, dtype=jnp.float32
+        )
+        pv = jax.lax.dot_general(
+            e * vs, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * scale[:, :1] + pv
+        m_scr[:] = m_next
+
+    @pl.when(p == max_pages - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "interpret")
+)
+def paged_flash_decode_quant(
+    q: jax.Array,
+    k_pages: jax.Array,
+    k_scale_pages: jax.Array,
+    v_pages: jax.Array,
+    v_scale_pages: jax.Array,
+    block_table: jax.Array,
+    lengths: jax.Array,
+    *,
+    sm_scale: float | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """paged_flash_decode against an 8-bit page pool.
+
+    k_pages/v_pages: [n_pages, Hkv, page_size, D] int8 OR float8_e4m3fn;
+    k_scale_pages/v_scale_pages: [n_pages, Hkv, 1, page_size] f32 — the
+    per-token scales stored LANE-MAJOR so the kernel broadcasts one scale
+    row across the score tile (write them with paged_append_quant). The
+    8-bit pages halve the decode's dominant HBM stream; dequant never
+    leaves the kernel. Returns [B, Hq, D] in q.dtype.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    b, hq, d = q.shape
+    n_pages, hkv, page_size, _ = k_pages.shape
+    assert k_scale_pages.shape == (n_pages, hkv, 1, page_size), (
+        k_scale_pages.shape
+    )
+    max_pages = block_table.shape[1]
+    g = hq // hkv
+    gp = max(8, g)
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+
+    qg = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+    qg = qg.reshape(b, hkv, g, d)
+    if gp != g:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+
+    kernel = functools.partial(
+        _paged_decode_kernel_q, page_size=page_size, max_pages=max_pages
+    )
+
+    def _page_map(bb, h, p, tbl, ln):
+        return (_live_page(tbl, ln, bb, p, page_size), h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hkv, max_pages),
+        in_specs=[
+            pl.BlockSpec((1, 1, gp, d), lambda bb, h, p, tbl, ln: (bb, h, 0, 0)),
+            pl.BlockSpec((1, 1, page_size, d), _page_map),
+            pl.BlockSpec((1, 1, 1, page_size), _page_map),
+            pl.BlockSpec((1, 1, page_size, d), _page_map),
+            pl.BlockSpec((1, 1, 1, page_size), _page_map),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, gp, d), lambda bb, h, p, tbl, ln: (bb, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((gp, 128), jnp.float32),
+            pltpu.VMEM((gp, 128), jnp.float32),
+            pltpu.VMEM((gp, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, gp, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        block_table.astype(jnp.int32),
+        lengths.astype(jnp.int32),
+        qg, k_pages, k_scale_pages, v_pages, v_scale_pages,
+    )
+    return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)
+
+
+def paged_append_quant(
+    k_pages: jax.Array,
+    k_scale_pages: jax.Array,
+    v_pages: jax.Array,
+    v_scale_pages: jax.Array,
+    k_new: jax.Array,   # [B, Hkv, D] full precision — quantized here
+    v_new: jax.Array,
+    block_table: jax.Array,
+    lengths: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """paged_append into an 8-bit pool: per-token symmetric quantization of
+    the new token, values into the 8-bit pages, scales into the lane-major
+    scale pages. Same capacity guard as paged_append."""
+    page_size = k_pages.shape[2]
+    max_pages = block_table.shape[1]
+    page_slot = lengths // page_size
+    offset = lengths % page_size
+    b = k_new.shape[0]
+    page_ids = jnp.take_along_axis(
+        block_table, jnp.clip(page_slot, 0, max_pages - 1)[:, None], axis=1
+    )[:, 0]
+    page_ids = jnp.where(page_slot >= max_pages, 0, page_ids)
+
+    eight_bit = k_pages.dtype == jnp.int8
+
+    def _q(x):  # [B, Hkv, D] -> (q8, scale [B, Hkv])
+        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+        if eight_bit:
+            scale = jnp.maximum(absmax, 1e-8) / 127.0
+            qv = jnp.clip(
+                jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+            ).astype(jnp.int8)
+        else:
+            scale = jnp.maximum(absmax, 1e-8) / 448.0  # e4m3 max normal
+            qv = (x.astype(jnp.float32) / scale[..., None]).astype(
+                k_pages.dtype
+            )
+        return qv, scale
+
+    kq, k_s = _q(k_new)
+    vq, v_s = _q(v_new)
+
+    def write(pages, new):
+        def one(pages, pid, off, val):
+            return jax.lax.dynamic_update_slice(
+                pages, val[None, :, None].astype(pages.dtype),
+                (pid, 0, off, 0),
+            )
+
+        for i in range(b):
+            pages = one(pages, page_ids[i], offset[i], new[i])
+        return pages
+
+    def write_scale(pages, new):  # pages [n, Hkv, 1, page]; new [B, Hkv]
+        def one(pages, pid, off, val):
+            return jax.lax.dynamic_update_slice(
+                pages, val[None, :, None, None].astype(pages.dtype),
+                (pid, 0, 0, off),
+            )
+
+        for i in range(b):
+            pages = one(pages, page_ids[i], offset[i], new[i])
+        return pages
+
+    return (
+        write(k_pages, kq),
+        write_scale(k_scale_pages, k_s),
+        write(v_pages, vq),
+        write_scale(v_scale_pages, v_s),
+    )

@@ -171,3 +171,128 @@ def test_engine_paged_decode_matches_linear(rng):
             np.asarray(l1), np.asarray(l2), rtol=2e-4, atol=2e-4
         )
         tok = jnp.argmax(l1, -1).astype(jnp.int32)
+
+
+@pytest.mark.parametrize("fmt", ["int8", "fp8"])
+def test_paged_decode_quant_matches_dequant_oracle(rng, fmt):
+    """8-bit page pool with lane-major per-token scale pages vs the oracle on
+    the dequantized cache."""
+    b, hq, hkv, s, d, page = 3, 8, 2, 640, 64, 128
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    lengths = np.array([640, 333, 1], np.int32)
+
+    k_q, k_s, v_q, v_s = ops.quantize_kv(
+        jnp.asarray(k), jnp.asarray(v), fmt=fmt
+    )
+    pool = ops.PagePool(32)
+    kp, vp, tables = _paged_from_linear(
+        np.asarray(k_q), np.asarray(v_q), page, pool, 8, 32
+    )
+    # scatter the scales into lane-major scale pages using the same tables
+    n_pages = 32
+    ksp = np.zeros((n_pages, hkv, 1, page), np.float32)
+    vsp = np.zeros_like(ksp)
+    for i in range(b):
+        for j, pid in enumerate(tables[i]):
+            lo, hi = j * page, min((j + 1) * page, s)
+            if lo >= s or (j > 0 and pid == 0):
+                break
+            ksp[pid, :, 0, : hi - lo] = np.asarray(k_s)[i, :, lo:hi, 0]
+            vsp[pid, :, 0, : hi - lo] = np.asarray(v_s)[i, :, lo:hi, 0]
+
+    got = ops.paged_flash_decode_quant(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(ksp),
+        jnp.asarray(vp), jnp.asarray(vsp),
+        jnp.asarray(tables), jnp.asarray(lengths),
+    )
+    kd = np.asarray(k_q, np.float32) * np.asarray(k_s, np.float32)
+    vd = np.asarray(v_q, np.float32) * np.asarray(v_s, np.float32)
+    for i in range(b):
+        exp = oracles.gqa_attention(
+            q[i : i + 1, :, None],
+            kd[i : i + 1, :, : lengths[i]],
+            vd[i : i + 1, :, : lengths[i]],
+            causal=False,
+        )[:, :, 0]
+        assert_rel_l2(np.asarray(got)[i : i + 1], exp, tol=1e-2)
+
+
+def test_paged_append_quant_roundtrip(rng):
+    """Append tokens one at a time into an int8 pool, then decode: must match
+    decoding the same tokens from a bf16 linear reference within int8 error."""
+    b, hq, hkv, d, page = 2, 4, 2, 32, 128
+    n_pages, max_pages = 8, 2
+    k_pages = jnp.zeros((n_pages, hkv, page, d), jnp.int8)
+    v_pages = jnp.zeros_like(k_pages)
+    ksp = jnp.zeros((n_pages, hkv, 1, page), jnp.float32)
+    vsp = jnp.zeros_like(ksp)
+    pool = ops.PagePool(n_pages)
+    tables = np.stack([
+        pool.table_for(pool.alloc(1), max_pages) for _ in range(b)
+    ])
+    tables = jnp.asarray(tables)
+
+    n_tok = 5
+    ks = rng.standard_normal((n_tok, b, hkv, d)).astype(np.float32)
+    vs = rng.standard_normal((n_tok, b, hkv, d)).astype(np.float32)
+    lengths = jnp.zeros((b,), jnp.int32)
+    for t in range(n_tok):
+        k_pages, ksp, v_pages, vsp = ops.paged_append_quant(
+            k_pages, ksp, v_pages, vsp,
+            jnp.asarray(ks[t]), jnp.asarray(vs[t]), tables, lengths,
+        )
+        lengths = lengths + 1
+
+    q = rng.standard_normal((b, hq, d)).astype(np.float32)
+    got = ops.paged_flash_decode_quant(
+        jnp.asarray(q), k_pages, ksp, v_pages, vsp, tables, lengths,
+    )
+    k_lin = np.moveaxis(ks, 0, 2)  # [B, Hkv, T, D]
+    v_lin = np.moveaxis(vs, 0, 2)
+    for i in range(b):
+        exp = oracles.gqa_attention(
+            q[i : i + 1, :, None], k_lin[i : i + 1], v_lin[i : i + 1],
+            causal=False,
+        )[:, :, 0]
+        assert_rel_l2(np.asarray(got)[i : i + 1], exp, tol=2e-2)
+
+
+def test_engine_paged_decode_quantized(rng):
+    """Full model on an int8 page pool: quantized paged decode must track
+    the full-precision linear-cache decode within int8-cache error."""
+    import jax
+    from flashattention_kernel_project_tpu import models
+    from flashattention_kernel_project_tpu.models import engine
+    from flashattention_kernel_project_tpu.utils.testing import rel_l2
+
+    cfg = models.TransformerConfig(
+        vocab_size=128, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_head=16, d_ff=128, dtype=jnp.float32, block_q=32, block_k=32,
+    )
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    b, t = 2, 48
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0, 128)
+
+    lin = engine.init_cache(cfg, b, 256)
+    logits_lin, lin = engine.prefill(cfg, params, prompt, lin)
+
+    pool = ops.PagePool(32)
+    paged = engine.init_paged_cache(
+        cfg, b, 32, page_size=128, max_pages_per_seq=4, quantized=True,
+    )
+    assert paged.quantized
+    for i in range(b):
+        pages = pool.alloc(2)
+        row = jnp.asarray(pool.table_for(pages, 4))
+        k_seq = tuple(lin.k[li][i] for li in range(cfg.n_layers))
+        v_seq = tuple(lin.v[li][i] for li in range(cfg.n_layers))
+        paged = engine.paged_insert(paged, i, row, k_seq, v_seq, t)
+
+    tok = jnp.argmax(logits_lin, -1).astype(jnp.int32)
+    for step in range(3):
+        l1, lin = engine.decode_step(cfg, params, tok, lin)
+        l2, paged = engine.decode_step_paged(cfg, params, tok, paged)
+        assert rel_l2(np.asarray(l2), np.asarray(l1)) < 5e-2
+        tok = jnp.argmax(l1, -1).astype(jnp.int32)
