@@ -527,7 +527,9 @@ class PagedKVCache(NamedTuple):
 
     @property
     def quantized(self) -> bool:
-        return self.k_pages[0].dtype == jnp.int8
+        # any 8-bit pool (int8 or fp8_e4m3) routes through the fused-dequant
+        # paged kernels; both carry per-token scale pages
+        return jnp.dtype(self.k_pages[0].dtype).itemsize == 1
 
 
 def init_paged_cache(
@@ -538,19 +540,22 @@ def init_paged_cache(
     page_size: int = 128,
     max_pages_per_seq: int = 16,
     quantized: bool = False,
+    quant_fmt: str = "int8",
 ) -> PagedKVCache:
-    """quantized=True stores int8 pages + lane-major per-token scale pages:
-    half the pool HBM -> 2x the page capacity at fixed memory (same capacity
-    trade as the linear int8 cache, init_cache)."""
+    """quantized=True stores 8-bit pages (quant_fmt: "int8" or "fp8") +
+    lane-major per-token scale pages: half the pool HBM -> 2x the page
+    capacity at fixed memory (same capacity trade as the linear int8 cache,
+    init_cache)."""
     shape = (n_pages, cfg.n_kv_heads, page_size, cfg.d_head)
     L = cfg.n_layers
     tables = jnp.zeros((batch, max_pages_per_seq), jnp.int32)
     lengths = jnp.zeros((batch,), jnp.int32)
     if quantized:
+        qdt = jnp.int8 if quant_fmt == "int8" else jnp.float8_e4m3fn
         s_shape = (n_pages, cfg.n_kv_heads, 1, page_size)
         return PagedKVCache(
-            k_pages=tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
-            v_pages=tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
+            k_pages=tuple(jnp.zeros(shape, qdt) for _ in range(L)),
+            v_pages=tuple(jnp.zeros(shape, qdt) for _ in range(L)),
             block_tables=tables,
             lengths=lengths,
             k_scale_pages=tuple(
@@ -601,11 +606,18 @@ def _scatter_pages(kp, vp, k_seq, v_seq, table_row, *, n_full, page, length):
 def _scatter_pages_q(
     kp, ksp, vp, vsp, k_seq, v_seq, table_row, *, n_full, page, length
 ):
-    """Quantized variant of _scatter_pages: per-token int8 quantization of
-    the prefix, values into the int8 pages, scales into the lane-major
-    scale pages. Same donation discipline."""
-    k_q, k_s = quantize_int8(k_seq, axis=-1)   # [Hkv, T, D], [Hkv, T, 1]
-    v_q, v_s = quantize_int8(v_seq, axis=-1)
+    """Quantized variant of _scatter_pages: per-token 8-bit quantization of
+    the prefix (int8 or fp8 pool dtype), values into the 8-bit pages, scales
+    into the lane-major scale pages. Same donation discipline."""
+    from flashattention_kernel_project_tpu.ops.quant import (
+        quantize_fp8_tokenwise,
+    )
+
+    quantizer = (
+        quantize_int8 if kp.dtype == jnp.int8 else quantize_fp8_tokenwise
+    )
+    k_q, k_s = quantizer(k_seq, axis=-1)   # [Hkv, T, D], [Hkv, T, 1]
+    v_q, v_s = quantizer(v_seq, axis=-1)
     for j in range(n_full):
         lo = j * page
         hi = min(lo + page, length)

@@ -487,7 +487,12 @@ def _fwd_kernel_ragged(
 
     @pl.when(kv_idx == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        # fixed-max: m stays 0 for its whole life (lse = log(l) + m*ln2);
+        # the online path starts the running max at -inf (same as dense)
+        m_scr[:] = (
+            jnp.zeros_like(m_scr) if not stable
+            else jnp.full_like(m_scr, NEG_INF)
+        )
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -539,7 +544,6 @@ def _fwd_kernel_ragged(
             l_scr[:] = l_scr[:] + jnp.sum(
                 p, axis=-1, keepdims=True, dtype=jnp.float32
             )
-            m_scr[:] = jnp.zeros_like(m_scr)  # lse = log(l) + m*ln2
             acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
                 p * vs if quant else p, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

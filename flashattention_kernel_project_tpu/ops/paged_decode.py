@@ -445,21 +445,18 @@ def paged_append_quant(
     )[:, 0]
     page_ids = jnp.where(page_slot >= max_pages, 0, page_ids)
 
-    eight_bit = k_pages.dtype == jnp.int8
+    from flashattention_kernel_project_tpu.ops.quant import (
+        quantize_fp8_tokenwise,
+        quantize_int8,
+    )
 
-    def _q(x):  # [B, Hkv, D] -> (q8, scale [B, Hkv])
-        absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-        if eight_bit:
-            scale = jnp.maximum(absmax, 1e-8) / 127.0
-            qv = jnp.clip(
-                jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
-            ).astype(jnp.int8)
-        else:
-            scale = jnp.maximum(absmax, 1e-8) / 448.0  # e4m3 max normal
-            qv = (x.astype(jnp.float32) / scale[..., None]).astype(
-                k_pages.dtype
-            )
-        return qv, scale
+    quantizer = (
+        quantize_int8 if k_pages.dtype == jnp.int8 else quantize_fp8_tokenwise
+    )
+
+    def _q(x):  # [B, Hkv, D] -> (8-bit values, scale [B, Hkv])
+        qv, scale = quantizer(x, axis=-1)
+        return qv.astype(k_pages.dtype), scale[..., 0]
 
     kq, k_s = _q(k_new)
     vq, v_s = _q(v_new)

@@ -50,6 +50,17 @@ def quantize_fp8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn), scale
 
 
+def quantize_fp8_tokenwise(
+    x: jax.Array, axis: int = -1
+) -> tuple[jax.Array, jax.Array]:
+    """FP8 (e4m3) quantization with a scale per slice along `axis` (the
+    per-token KV-cache form; scale keeps `axis` as size 1, like
+    quantize_int8)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 448.0  # e4m3 max normal
+    return (x.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn), scale
+
+
 def dequantize_fp8(q: jax.Array, scale: jax.Array, dtype=jnp.float32) -> jax.Array:
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
@@ -143,17 +154,8 @@ def quantize_kv(
     fmt: "int8" (symmetric absmax/127) or "fp8" (float8_e4m3fn, absmax/448).
     """
     if fmt == "fp8":
-        import jax.numpy as _jnp
-
-        def qf(x):
-            scale = _jnp.max(_jnp.abs(x.astype(_jnp.float32)), -1, keepdims=True)
-            scale = _jnp.maximum(scale, 1e-8) / 448.0  # e4m3 max normal
-            return (x.astype(_jnp.float32) / scale).astype(
-                _jnp.float8_e4m3fn
-            ), scale
-
-        k_q, k_scale = qf(k)
-        v_q, v_scale = qf(v)
+        k_q, k_scale = quantize_fp8_tokenwise(k, axis=-1)
+        v_q, v_scale = quantize_fp8_tokenwise(v, axis=-1)
         return k_q, k_scale, v_q, v_scale
     k_q, k_scale = quantize_int8(k, axis=-1)
     v_q, v_scale = quantize_int8(v, axis=-1)

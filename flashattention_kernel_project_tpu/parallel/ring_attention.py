@@ -44,6 +44,57 @@ def merge_normalized(o_a, lse_a, o_b, lse_b):
     return o_a * wa + o_b * wb, lse
 
 
+def _make_ring(mesh, attend, n_kv, *, causal, seq_axis, data_axis):
+    """Shared ring driver: `attend(q, kv_tuple, local_causal)` runs the local
+    fused kernel and returns (o_f32, lse); `kv_tuple` is any pytree of
+    n_kv sequence-sharded arrays that rotates around the ppermute ring as
+    one unit (bf16 K/V, or 8-bit values + per-token scales)."""
+    n_ring = mesh.shape[seq_axis]
+    b_axis = data_axis if (data_axis and data_axis in mesh.axis_names) else None
+    spec = P(b_axis, None, seq_axis, None)
+
+    def _ring(q, *kv):
+        idx = jax.lax.axis_index(seq_axis)
+        perm = [(d, (d + 1) % n_ring) for d in range(n_ring)]
+
+        # Step 0: the diagonal shard — local causal (or plain) attention.
+        o, lse = attend(q, kv, local_causal=causal)
+
+        dv = kv[-2].shape[-1] if n_kv == 4 else kv[-1].shape[-1]
+        for t in range(1, n_ring):
+            # rotate first so the ICI hop overlaps the local compute below
+            kv_next = jax.lax.ppermute(kv, seq_axis, perm)
+
+            if causal:
+                # shard j = idx - t (mod n_ring) is strictly below the
+                # diagonal only when idx >= t; wrapped shards are future
+                # tokens and contribute nothing.
+                def _attend(q=q, kv_next=kv_next):
+                    return attend(q, kv_next, local_causal=False)
+
+                def _skip(q=q):
+                    return (
+                        jnp.zeros(q.shape[:-1] + (dv,), jnp.float32),
+                        jnp.full(q.shape[:-1], NEG_INF, jnp.float32),
+                    )
+
+                o_t, lse_t = jax.lax.cond(idx >= t, _attend, _skip)
+            else:
+                o_t, lse_t = attend(q, kv_next, local_causal=False)
+
+            o, lse = merge_normalized(o, lse, o_t, lse_t)
+            kv = kv_next
+
+        return o.astype(q.dtype)
+
+    return jax.jit(
+        shard_map(
+            _ring, mesh=mesh, in_specs=(spec,) * (1 + n_kv), out_specs=spec,
+            check_vma=False,
+        )
+    )
+
+
 def ring_attention(
     mesh: Mesh,
     *,
@@ -59,57 +110,16 @@ def ring_attention(
     GLOBAL lengths (shard_map slices them). Requires N and S divisible by the
     ring size. Causal assumes q and kv use the same sequence partition.
     """
-    n_ring = mesh.shape[seq_axis]
-    b_axis = data_axis if (data_axis and data_axis in mesh.axis_names) else None
-    spec = P(b_axis, None, seq_axis, None)
 
-    def _local(q, k, v, *, local_causal, q_offset=0):
+    def attend(q, kv, *, local_causal):
+        k, v = kv
         o, lse = flash_attention_with_lse(
-            q, k, v, causal=local_causal, sm_scale=sm_scale,
-            q_offset=q_offset, **kernel_kwargs,
+            q, k, v, causal=local_causal, sm_scale=sm_scale, **kernel_kwargs,
         )
         return o.astype(jnp.float32), lse
 
-    def _ring(q, k, v):
-        idx = jax.lax.axis_index(seq_axis)
-        perm = [(d, (d + 1) % n_ring) for d in range(n_ring)]
-
-        # Step 0: the diagonal shard — local causal (or plain) attention.
-        o, lse = _local(q, k, v, local_causal=causal)
-
-        kv = (k, v)
-        for t in range(1, n_ring):
-            # rotate first so the ICI hop overlaps the local compute below
-            kv_next = jax.lax.ppermute(kv, seq_axis, perm)
-            k_t, v_t = kv_next
-
-            if causal:
-                # shard j = idx - t (mod n_ring) is strictly below the
-                # diagonal only when idx >= t; wrapped shards are future
-                # tokens and contribute nothing.
-                def _attend(q=q, k_t=k_t, v_t=v_t):
-                    return _local(q, k_t, v_t, local_causal=False)
-
-                def _skip(q=q):
-                    return (
-                        jnp.zeros(q.shape[:-1] + (v_t.shape[-1],), jnp.float32),
-                        jnp.full(q.shape[:-1], NEG_INF, jnp.float32),
-                    )
-
-                o_t, lse_t = jax.lax.cond(idx >= t, _attend, _skip)
-            else:
-                o_t, lse_t = _local(q, k_t, v_t, local_causal=False)
-
-            o, lse = merge_normalized(o, lse, o_t, lse_t)
-            kv = kv_next
-
-        return o.astype(q.dtype)
-
-    return jax.jit(
-        shard_map(
-            _ring, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-            check_vma=False,
-        )
+    return _make_ring(
+        mesh, attend, 2, causal=causal, seq_axis=seq_axis, data_axis=data_axis
     )
 
 
@@ -138,52 +148,14 @@ def ring_attention_kv_quant(
         flash_attention_kv_quant_with_lse,
     )
 
-    n_ring = mesh.shape[seq_axis]
-    b_axis = data_axis if (data_axis and data_axis in mesh.axis_names) else None
-    spec = P(b_axis, None, seq_axis, None)
-
-    def _local(q, kq, ks, vq, vs, *, local_causal):
+    def attend(q, kv, *, local_causal):
+        kq, ks, vq, vs = kv
         o, lse = flash_attention_kv_quant_with_lse(
             q, kq, ks, vq, vs, causal=local_causal, sm_scale=sm_scale,
             **kernel_kwargs,
         )
         return o.astype(jnp.float32), lse
 
-    def _ring(q, kq, ks, vq, vs):
-        idx = jax.lax.axis_index(seq_axis)
-        perm = [(d, (d + 1) % n_ring) for d in range(n_ring)]
-
-        o, lse = _local(q, kq, ks, vq, vs, local_causal=causal)
-
-        kv = (kq, ks, vq, vs)
-        for t in range(1, n_ring):
-            # rotate the 8-bit shard first: the ICI hop overlaps the local
-            # fused-dequant attention below
-            kv_next = jax.lax.ppermute(kv, seq_axis, perm)
-            kq_t, ks_t, vq_t, vs_t = kv_next
-
-            if causal:
-                def _attend(q=q, kq_t=kq_t, ks_t=ks_t, vq_t=vq_t, vs_t=vs_t):
-                    return _local(q, kq_t, ks_t, vq_t, vs_t, local_causal=False)
-
-                def _skip(q=q):
-                    return (
-                        jnp.zeros(q.shape[:-1] + (vq_t.shape[-1],), jnp.float32),
-                        jnp.full(q.shape[:-1], NEG_INF, jnp.float32),
-                    )
-
-                o_t, lse_t = jax.lax.cond(idx >= t, _attend, _skip)
-            else:
-                o_t, lse_t = _local(q, kq_t, ks_t, vq_t, vs_t, local_causal=False)
-
-            o, lse = merge_normalized(o, lse, o_t, lse_t)
-            kv = kv_next
-
-        return o.astype(q.dtype)
-
-    return jax.jit(
-        shard_map(
-            _ring, mesh=mesh, in_specs=(spec,) * 5, out_specs=spec,
-            check_vma=False,
-        )
+    return _make_ring(
+        mesh, attend, 4, causal=causal, seq_axis=seq_axis, data_axis=data_axis
     )

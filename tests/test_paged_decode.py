@@ -259,9 +259,11 @@ def test_paged_append_quant_roundtrip(rng):
         assert_rel_l2(np.asarray(got)[i : i + 1], exp, tol=2e-2)
 
 
-def test_engine_paged_decode_quantized(rng):
-    """Full model on an int8 page pool: quantized paged decode must track
-    the full-precision linear-cache decode within int8-cache error."""
+@pytest.mark.parametrize("fmt", ["int8", "fp8"])
+def test_engine_paged_decode_quantized(rng, fmt):
+    """Full model on an 8-bit page pool (int8 and fp8): quantized paged
+    decode must track the full-precision linear-cache decode within
+    8-bit-cache error."""
     import jax
     from flashattention_kernel_project_tpu import models
     from flashattention_kernel_project_tpu.models import engine
@@ -281,6 +283,7 @@ def test_engine_paged_decode_quantized(rng):
     pool = ops.PagePool(32)
     paged = engine.init_paged_cache(
         cfg, b, 32, page_size=128, max_pages_per_seq=4, quantized=True,
+        quant_fmt=fmt,
     )
     assert paged.quantized
     for i in range(b):
