@@ -186,6 +186,52 @@ def build_benches(quick: bool, long: bool = False):
         (qd, kq, ks, vq, vs, lens), bytes_accessed=kv_bytes // 2,
         flops=4 * DB * H * DS * D)
 
+    # paged decode (vLLM-style block tables), bf16 + int8 pools: same
+    # problem as the linear decode above, KV scattered into 128-token pages
+    page, n_pages = 128, DB * (DS // 128) + 1
+    max_pages = DS // 128
+    kp = jnp.concatenate([
+        jnp.zeros((1, HKV, page, D), kc.dtype),  # reserved junk page 0
+        kc.transpose(0, 2, 1, 3).reshape(DB, max_pages, page, HKV, D)
+          .transpose(0, 1, 3, 2, 4).reshape(DB * max_pages, HKV, page, D),
+    ])
+    vp = jnp.concatenate([
+        jnp.zeros((1, HKV, page, D), vc.dtype),
+        vc.transpose(0, 2, 1, 3).reshape(DB, max_pages, page, HKV, D)
+          .transpose(0, 1, 3, 2, 4).reshape(DB * max_pages, HKV, page, D),
+    ])
+    tables = jnp.asarray(
+        1 + np.arange(DB * max_pages, dtype=np.int32).reshape(DB, max_pages)
+    )
+    reg("paged_decode_bf16_b8_s8192",
+        ops.paged_flash_decode,
+        (qd, kp, vp, tables, lens), bytes_accessed=kv_bytes,
+        flops=4 * DB * H * DS * D)
+    ksp = jnp.concatenate([
+        jnp.zeros((1, HKV, 1, page), jnp.float32),
+        ks.reshape(DB, HKV, max_pages, 1, page).transpose(0, 2, 1, 3, 4)
+          .reshape(DB * max_pages, HKV, 1, page),
+    ])
+    vsp = jnp.concatenate([
+        jnp.zeros((1, HKV, 1, page), jnp.float32),
+        vs.reshape(DB, HKV, max_pages, 1, page).transpose(0, 2, 1, 3, 4)
+          .reshape(DB * max_pages, HKV, 1, page),
+    ])
+    kp8 = jnp.concatenate([
+        jnp.zeros((1, HKV, page, D), kq.dtype),
+        kq.transpose(0, 2, 1, 3).reshape(DB, max_pages, page, HKV, D)
+          .transpose(0, 1, 3, 2, 4).reshape(DB * max_pages, HKV, page, D),
+    ])
+    vp8 = jnp.concatenate([
+        jnp.zeros((1, HKV, page, D), vq.dtype),
+        vq.transpose(0, 2, 1, 3).reshape(DB, max_pages, page, HKV, D)
+          .transpose(0, 1, 3, 2, 4).reshape(DB * max_pages, HKV, page, D),
+    ])
+    reg("paged_decode_int8_b8_s8192",
+        ops.paged_flash_decode_quant,
+        (qd, kp8, ksp, vp8, vsp, tables, lens),
+        bytes_accessed=kv_bytes // 2, flops=4 * DB * H * DS * D)
+
     # the reference's streaming-kernel problem shape (B=1024 independent
     # sequences, short KV, small head count — flashattn_streaming_16x16.cu
     # mains), through the explicit-DMA double-buffer kernel (section 2.7

@@ -2,6 +2,7 @@ from flashattention_kernel_project_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     head_sharded_attention,
     head_sharded_decode,
+    head_sharded_decode_quant,
     shard_params,
 )
 from flashattention_kernel_project_tpu.parallel.train import (  # noqa: F401

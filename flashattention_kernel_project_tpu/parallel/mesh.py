@@ -124,3 +124,47 @@ def shard_params(params, mesh: Mesh, rules) -> object:
         params,
         rules,
     )
+
+
+def head_sharded_decode_quant(
+    mesh: Mesh,
+    *,
+    n_splits: int = 8,
+    sm_scale: float | None = None,
+    data_axis: str | None = "data",
+    model_axis: str = "model",
+    **kernel_kwargs,
+):
+    """head_sharded_decode against an 8-bit KV cache: each chip streams its
+    int8/fp8 head slice (values + per-token scales) through the
+    fused-dequant split-KV kernel — half the per-chip HBM traffic of the
+    bf16 TP decode, completing the BASELINE north star's "quantized KV
+    tensor-sharded over the mesh" decode path.
+
+    Returns fn(q[B,Hq,D], k_q[B,Hkv,S,D] 8-bit, k_scale[B,Hkv,S,1],
+    v_q, v_scale, lengths[B]) -> [B,Hq,D].
+    """
+    from flashattention_kernel_project_tpu.ops.flash_decode import (
+        flash_decode_int8,
+    )
+
+    b_axis = data_axis if data_axis in mesh.axis_names else None
+    q_spec = P(b_axis, model_axis, None)
+    kv_spec = P(b_axis, model_axis, None, None)
+    len_spec = P(b_axis)
+
+    def _decode(q, k_q, k_s, v_q, v_s, lengths):
+        return flash_decode_int8(
+            q, k_q, k_s, v_q, v_s, lengths,
+            n_splits=n_splits, sm_scale=sm_scale, **kernel_kwargs,
+        )
+
+    return jax.jit(
+        shard_map(
+            _decode,
+            mesh=mesh,
+            in_specs=(q_spec, kv_spec, kv_spec, kv_spec, kv_spec, len_spec),
+            out_specs=q_spec,
+            check_vma=False,
+        )
+    )

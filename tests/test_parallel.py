@@ -153,3 +153,32 @@ def test_ring_attention_kv_quant(rng, causal):
     vd = np.asarray(v_q, np.float32) * np.asarray(v_s, np.float32)
     exp = oracles.gqa_attention(q, kd, vd, causal=causal)
     assert_rel_l2(got, exp, tol=1e-2)
+
+
+def test_head_sharded_decode_quant(rng, mesh8):
+    """TP decode over an int8 head-sharded cache: each chip's shard stays
+    8-bit; vs the dequantized-cache oracle."""
+    b, hq, hkv, s, d = 2, 16, 8, 96, 32
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    lengths = np.array([96, 41], dtype=np.int32)
+    k_q, k_s, v_q, v_s = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
+
+    fn = parallel.head_sharded_decode_quant(mesh8, n_splits=2)
+    got = np.asarray(fn(
+        jnp.asarray(q), k_q, k_s, v_q, v_s, jnp.asarray(lengths)
+    ))
+    kd = np.asarray(k_q, np.float32) * np.asarray(k_s, np.float32)
+    vd = np.asarray(v_q, np.float32) * np.asarray(v_s, np.float32)
+    exp = np.concatenate(
+        [
+            oracles.gqa_attention(
+                q[i : i + 1, :, None, :], kd[i : i + 1, :, : lengths[i]],
+                vd[i : i + 1, :, : lengths[i]],
+            )[:, :, 0]
+            for i in range(b)
+        ],
+        axis=0,
+    )
+    assert_rel_l2(got, exp, tol=1e-2)
