@@ -159,3 +159,169 @@ def ring_attention_kv_quant(
     return _make_ring(
         mesh, attend, 4, causal=causal, seq_axis=seq_axis, data_axis=data_axis
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable ring attention (context-parallel TRAINING).
+#
+# Backward follows the same ring schedule as forward. The FlashAttention-2
+# recompute needs only the GLOBAL (o, lse) per query row — both live on the
+# query's home device after the forward merge — so each KV shard's gradient
+# contribution can be computed wherever the shard happens to be: the (dk, dv)
+# accumulators ride the ring WITH the shard and arrive home after a full
+# loop. dq accumulates in place on the query's device. The KV rotation is
+# issued before the local backward kernels so the ICI hop overlaps compute,
+# exactly like the forward.
+# ---------------------------------------------------------------------------
+
+def ring_attention_trainable_inner(
+    n_ring: int,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    seq_axis: str = "sp",
+    **kernel_kwargs,
+):
+    """The differentiable ring WITHOUT the shard_map wrapper: a custom-vjp
+    function of (q, k, v) local shards, callable from inside any enclosing
+    shard_map that carries `seq_axis` (e.g. the context-parallel train step,
+    which calls it once per layer). `n_ring` is the size of that axis."""
+    from flashattention_kernel_project_tpu.ops.flash_attention import (
+        _bwd_pallas,
+    )
+
+    interpret = kernel_kwargs.get("interpret", None)
+    block_q = kernel_kwargs.get("block_q", None)
+    block_k = kernel_kwargs.get("block_k", None)
+
+    def _fwd_local(q, kv, *, local_causal):
+        k, v = kv
+        o, lse = flash_attention_with_lse(
+            q, k, v, causal=local_causal, sm_scale=sm_scale, **kernel_kwargs,
+        )
+        return o.astype(jnp.float32), lse
+
+    @jax.custom_vjp
+    def _ring(q, k, v):
+        o, _ = _ring_fwd(q, k, v)
+        return o
+
+    def _ring_fwd(q, k, v):
+        idx = jax.lax.axis_index(seq_axis)
+        perm = [(d, (d + 1) % n_ring) for d in range(n_ring)]
+        o, lse = _fwd_local(q, (k, v), local_causal=causal)
+        kv = (k, v)
+        for t in range(1, n_ring):
+            kv_next = jax.lax.ppermute(kv, seq_axis, perm)
+
+            if causal:
+                def _attend(q=q, kv_next=kv_next):
+                    return _fwd_local(q, kv_next, local_causal=False)
+
+                def _skip(q=q, kv_next=kv_next):
+                    return (
+                        jnp.zeros(
+                            q.shape[:-1] + (kv_next[1].shape[-1],), jnp.float32
+                        ),
+                        jnp.full(q.shape[:-1], NEG_INF, jnp.float32),
+                    )
+
+                o_t, lse_t = jax.lax.cond(idx >= t, _attend, _skip)
+            else:
+                o_t, lse_t = _fwd_local(q, kv_next, local_causal=False)
+
+            o, lse = merge_normalized(o, lse, o_t, lse_t)
+            kv = kv_next
+        o = o.astype(q.dtype)
+        return o, (q, k, v, o, lse)
+
+    def _bwd_step(q, k_t, v_t, o, lse, do, *, local_causal):
+        sc = sm_scale if sm_scale is not None else 1.0 / (q.shape[-1] ** 0.5)
+        return _bwd_pallas(
+            (q, k_t, v_t, o, lse), do, local_causal, sc, 0,
+            block_q, block_k, interpret,
+        )
+
+    def _ring_bwd(res, do):
+        q, k, v, o, lse = res
+        idx = jax.lax.axis_index(seq_axis)
+        perm = [(d, (d + 1) % n_ring) for d in range(n_ring)]
+
+        # t = 0: the diagonal shard, local causal
+        dq, dk0, dv0 = _bwd_step(q, k, v, o, lse, do, local_causal=causal)
+        dq = dq.astype(jnp.float32)
+        kv = (k, v)
+        dkv = (dk0.astype(jnp.float32), dv0.astype(jnp.float32))
+        for t in range(1, n_ring):
+            # rotate the shard first (overlaps the ICI hop with the kernels
+            # below); its accumulator follows after this step's contribution
+            kv_next = jax.lax.ppermute(kv, seq_axis, perm)
+            dkv = jax.lax.ppermute(dkv, seq_axis, perm)
+            k_t, v_t = kv_next
+
+            if causal:
+                def _grad(q=q, k_t=k_t, v_t=v_t):
+                    return _bwd_step(
+                        q, k_t, v_t, o, lse, do, local_causal=False
+                    )
+
+                def _zero(q=q, k_t=k_t, v_t=v_t):
+                    return (
+                        jnp.zeros_like(q), jnp.zeros_like(k_t),
+                        jnp.zeros_like(v_t),
+                    )
+
+                dq_t, dk_t, dv_t = jax.lax.cond(idx >= t, _grad, _zero)
+            else:
+                dq_t, dk_t, dv_t = _bwd_step(
+                    q, k_t, v_t, o, lse, do, local_causal=False
+                )
+
+            dq = dq + dq_t.astype(jnp.float32)
+            dkv = (
+                dkv[0] + dk_t.astype(jnp.float32),
+                dkv[1] + dv_t.astype(jnp.float32),
+            )
+            kv = kv_next
+
+        # the shard on board is idx + 1 (mod P); one more hop brings each
+        # accumulator back to its home device
+        dkv = jax.lax.ppermute(dkv, seq_axis, perm)
+        return dq.astype(q.dtype), dkv[0].astype(k.dtype), dkv[1].astype(v.dtype)
+
+    _ring.defvjp(_ring_fwd, _ring_bwd)
+    return _ring
+
+
+def ring_attention_trainable(
+    mesh: Mesh,
+    *,
+    causal: bool = True,
+    sm_scale: float | None = None,
+    seq_axis: str = "sp",
+    data_axis: str | None = "data",
+    **kernel_kwargs,
+):
+    """Differentiable context-parallel attention over `seq_axis`.
+
+    Returns fn(q[B,H,N,D], k[B,H,S,D], v) -> [B,H,N,Dv] (global lengths)
+    that supports jax.grad w.r.t. q, k, v — the missing piece for training
+    at sequence lengths one chip cannot hold. Gradient math: FA2 recompute
+    (ops.flash_attention._bwd_pallas) per ring step with the saved global
+    logsumexp; causal scheduling mirrors the forward (wrapped shards are
+    skipped, so their kernels never run in either direction); the (dk, dv)
+    accumulators ride the rotating shard home.
+    """
+    n_ring = mesh.shape[seq_axis]
+    b_axis = data_axis if (data_axis and data_axis in mesh.axis_names) else None
+    spec = P(b_axis, None, seq_axis, None)
+    _ring = ring_attention_trainable_inner(
+        n_ring, causal=causal, sm_scale=sm_scale, seq_axis=seq_axis,
+        **kernel_kwargs,
+    )
+    return jax.jit(
+        shard_map(
+            _ring, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+            check_vma=False,
+        )
+    )

@@ -125,3 +125,130 @@ def make_train_step(
         check_vma=False,
     )
     return jax.jit(step_sm), rules
+
+
+# ---------------------------------------------------------------------------
+# Context-parallel (sequence-sharded) training: the long-context train step.
+# Parameters replicated; each device holds a contiguous slice of the
+# sequence and attends globally through the differentiable ring
+# (ring_attention_trainable_inner, called once per layer inside this
+# shard_map). Gradients are psum'd over the ring — the loss normalization
+# is already global, so the sum IS the global gradient.
+# ---------------------------------------------------------------------------
+
+def _cp_forward(cfg, params, tokens, *, ring, n_ring, seq_axis, interpret=None):
+    """Local-slice forward. `tokens` arrives REPLICATED [b, n_global]; each
+    device slices its n_global/n_ring positions (RoPE uses global positions)."""
+    b, n = tokens.shape
+    n_loc = n // n_ring
+    idx = jax.lax.axis_index(seq_axis)
+    tok = jax.lax.dynamic_slice_in_dim(tokens, idx * n_loc, n_loc, 1)
+    x = params["embed"][tok]
+    positions = idx * n_loc + jnp.arange(n_loc)[None, :]
+    sin, cos = tfm.rope_tables(cfg, positions)
+
+    n_layers = params["layers"]["wq"].shape[0]
+    for i in range(n_layers):
+        layer = jax.tree.map(lambda p: p[i], params["layers"])
+        h = tfm.rms_norm(x, layer["rms_attn"])
+        q = (h @ layer["wq"]).reshape(b, n_loc, cfg.n_heads, cfg.d_head)
+        k = (h @ layer["wk"]).reshape(b, n_loc, cfg.n_kv_heads, cfg.d_head)
+        v = (h @ layer["wv"]).reshape(b, n_loc, cfg.n_kv_heads, cfg.d_head)
+        q = tfm.apply_rope(q, sin, cos)
+        k = tfm.apply_rope(k, sin, cos)
+        o = ring(
+            q.transpose(0, 2, 1, 3),
+            k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3),
+        )
+        x = x + o.transpose(0, 2, 1, 3).reshape(b, n_loc, cfg.q_dim) @ layer["wo"]
+        x = tfm._mlp_block(layer, x)
+
+    x = tfm.rms_norm(x, params["rms_final"])
+    logits = (x @ params["embed"].T).astype(jnp.float32)
+    return logits, tok
+
+
+def _cp_loss(cfg, params, tokens, *, ring, n_ring, seq_axis, interpret=None):
+    """Global next-token NLL from sequence-sharded logits: per-shard
+    (sum, count) combined with psum (shard token counts differ — the last
+    global position has no label — so a pmean of means would be biased)."""
+    logits, _ = _cp_forward(
+        cfg, params, tokens, ring=ring, n_ring=n_ring, seq_axis=seq_axis,
+        interpret=interpret,
+    )
+    b, n = tokens.shape
+    n_loc = n // n_ring
+    idx = jax.lax.axis_index(seq_axis)
+    padded = jnp.pad(tokens, ((0, 0), (0, 1)))
+    labels = jax.lax.dynamic_slice_in_dim(padded, idx * n_loc + 1, n_loc, 1)
+    pos = idx * n_loc + jnp.arange(n_loc)
+    valid = (pos + 1 < n)[None, :].astype(jnp.float32)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    loss_sum = jax.lax.psum(jnp.sum(nll * valid), seq_axis)
+    count = jax.lax.psum(b * jnp.sum(valid), seq_axis)
+    return loss_sum / count
+
+
+def make_cp_train_step(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    *,
+    lr: float = 1e-3,
+    seq_axis: str = "sp",
+    interpret: bool | None = None,
+):
+    """Build the jitted context-parallel train step (sequence over
+    `seq_axis`, params replicated, ring attention per layer).
+
+    Returns (step_fn(params, tokens[b, n_global]) -> (new_params, loss),
+    param_specs) — param_specs are all-replicated P()s for shard_params.
+    n_global must be divisible by the ring size.
+    """
+    from flashattention_kernel_project_tpu.parallel.ring_attention import (
+        ring_attention_trainable_inner,
+    )
+
+    n_ring = mesh.shape[seq_axis]
+    ring = ring_attention_trainable_inner(
+        n_ring, causal=True, seq_axis=seq_axis,
+        block_q=cfg.block_q, block_k=cfg.block_k, interpret=interpret,
+    )
+
+    def step(params, tokens):
+        loss, grads = jax.value_and_grad(
+            functools.partial(
+                _cp_loss, cfg, ring=ring, n_ring=n_ring, seq_axis=seq_axis,
+                interpret=interpret,
+            )
+        )(params, tokens)
+        # psum's TRANSPOSE is psum: back-propagating through _cp_loss's
+        # loss/count psums hands every device a cotangent multiplied by the
+        # ring size, so each local grad is n_ring * (its own contribution);
+        # pmean folds the factor away while summing the contributions
+        # (verified against the single-device grads in
+        # tests/test_train_parallel.py)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, seq_axis), grads)
+        new_params = jax.tree.map(
+            lambda p, g: (
+                p.astype(jnp.float32) - lr * g.astype(jnp.float32)
+            ).astype(p.dtype),
+            params,
+            grads,
+        )
+        return new_params, loss
+
+    rules = jax.tree.map(
+        lambda _: P(), tfm.param_shardings(cfg),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    step_sm = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(rules, P(None, None)),
+        out_specs=(rules, P()),
+        check_vma=False,
+    )
+    return jax.jit(step_sm), rules

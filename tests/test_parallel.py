@@ -182,3 +182,32 @@ def test_head_sharded_decode_quant(rng, mesh8):
         axis=0,
     )
     assert_rel_l2(got, exp, tol=1e-2)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_trainable_grads(rng, causal):
+    """Context-parallel training: value AND gradients of the differentiable
+    ring must match jax.grad through the single-device fused kernel."""
+    mesh = parallel.make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    b, h, n, d = 1, 2, 128, 32
+    q = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+
+    ring = parallel.ring_attention_trainable(
+        mesh, causal=causal, data_axis=None, block_q=32, block_k=32
+    )
+
+    def loss_ring(q, k, v):
+        o = ring(q, k, v)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_single(q, k, v):
+        o = ops.flash_attention(q, k, v, causal=causal, block_q=32, block_k=32)
+        return jnp.sum(o * jnp.cos(o))
+
+    val_r, grads_r = jax.value_and_grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    val_s, grads_s = jax.value_and_grad(loss_single, argnums=(0, 1, 2))(q, k, v)
+    assert abs(float(val_r) - float(val_s)) < 1e-2 * max(1.0, abs(float(val_s)))
+    for gr, gs in zip(grads_r, grads_s):
+        assert_rel_l2(np.asarray(gr), np.asarray(gs), tol=1e-3)

@@ -51,3 +51,38 @@ def test_tp_dp_loss_decreases():
         p, loss = step(p, tokens)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_cp_step_matches_single_device():
+    """Context-parallel (sequence-sharded ring) train step == single-device
+    step: same loss, same updated params."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(2), (2, 64), 0, CFG.vocab_size
+    )
+
+    mesh = parallel.make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    step, rules = parallel.make_cp_train_step(CFG, mesh, lr=1e-2)
+    sharded = parallel.shard_params(params, mesh, rules)
+    new_cp, loss_cp = step(sharded, tokens)
+
+    new_single, loss_single = models.sgd_train_step(CFG, params, tokens, lr=1e-2)
+    np.testing.assert_allclose(float(loss_cp), float(loss_single), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(new_cp), jax.tree.leaves(new_single)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4
+        )
+
+
+def test_cp_step_loss_decreases():
+    params = models.init_params(CFG, jax.random.PRNGKey(3))
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(4), (2, 64), 0, CFG.vocab_size
+    )
+    mesh = parallel.make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    step, rules = parallel.make_cp_train_step(CFG, mesh, lr=1e-1)
+    p = parallel.shard_params(params, mesh, rules)
+    _, loss0 = step(p, tokens)
+    for _ in range(3):
+        p, loss = step(p, tokens)
+    assert float(loss) < float(loss0)
