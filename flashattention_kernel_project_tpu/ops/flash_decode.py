@@ -160,7 +160,8 @@ def merge_partials(m, l, y):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_splits", "sm_scale", "interpret")
+    jax.jit,
+    static_argnames=("n_splits", "sm_scale", "interpret", "return_partials"),
 )
 def flash_decode(
     q: jax.Array,
@@ -171,8 +172,14 @@ def flash_decode(
     n_splits: int | None = None,
     sm_scale: float | None = None,
     interpret: bool | None = None,
+    return_partials: bool = False,
 ) -> jax.Array:
     """Single-token GQA decode against a (padded) KV cache.
+
+    return_partials=True skips the final normalize and returns the folded
+    unnormalized streaming state (m, l, y) with shapes [B, Hkv, G, 1]/
+    [B, Hkv, G, 1]/[B, Hkv, G, D] — the associative cross-device combiner
+    state for sequence-sharded decode (parallel.seq_sharded_decode).
 
     Args:
       q: [B, Hq, D] — one new token per sequence.
@@ -256,6 +263,16 @@ def flash_decode(
         lengths.astype(jnp.int32),
         qg.reshape(b, hkv, gp, d), k_cache, v_cache,
     )
+
+    if return_partials:
+        # fold the split axis but keep the UNNORMALIZED streaming state —
+        # the cross-device combiner for sequence-sharded decode
+        # (parallel.seq_sharded_decode) merges these over the mesh
+        m_g = jnp.max(m, axis=-3)
+        alpha = jnp.exp(m - m_g[..., None, :, :])
+        l_g = jnp.sum(l * alpha, axis=-3)
+        y_g = jnp.sum(y * alpha, axis=-3)
+        return m_g[:, :, :g], l_g[:, :, :g], y_g[:, :, :g]
 
     out = merge_partials(m, l, y)  # [B, Hkv, GP, D]
     return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)

@@ -3,6 +3,7 @@ from flashattention_kernel_project_tpu.parallel.mesh import (  # noqa: F401
     head_sharded_attention,
     head_sharded_decode,
     head_sharded_decode_quant,
+    seq_sharded_decode,
     shard_params,
 )
 from flashattention_kernel_project_tpu.parallel.train import (  # noqa: F401

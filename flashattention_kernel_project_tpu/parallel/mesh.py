@@ -14,6 +14,7 @@ import functools
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -164,6 +165,66 @@ def head_sharded_decode_quant(
             _decode,
             mesh=mesh,
             in_specs=(q_spec, kv_spec, kv_spec, kv_spec, kv_spec, len_spec),
+            out_specs=q_spec,
+            check_vma=False,
+        )
+    )
+
+
+def seq_sharded_decode(
+    mesh: Mesh,
+    *,
+    n_splits: int | None = None,
+    sm_scale: float | None = None,
+    data_axis: str | None = "data",
+    seq_axis: str = "sp",
+    **kernel_kwargs,
+):
+    """Sequence-sharded split-KV decode: the KV cache is sharded along its
+    LENGTH over `seq_axis` (P(batch, None, seq_axis, None)) — for contexts
+    longer than one chip's HBM, orthogonal to head_sharded_decode's TP axis.
+    Each chip runs the split-KV kernel over its slice with the slice-local
+    length and emits the UNNORMALIZED (m, l, y) streaming state
+    (flash_decode(return_partials=True)); one all_gather + the associative
+    merge (the reference's streaming algebra,
+    flashattn_streaming_16x16.cu:15-24, applied across chips) produces the
+    output everywhere. The gathered state is [B, Hq, D]-sized — decode
+    partials, not cache — so the collective is tiny.
+
+    Returns fn(q[B,Hq,D], k_cache[B,Hkv,S,D], v_cache, lengths[B]) ->
+    [B,Hq,D] with S the GLOBAL cache length (divisible by the shard count).
+    """
+    from flashattention_kernel_project_tpu.ops.flash_decode import (
+        flash_decode,
+        merge_partials,
+    )
+
+    b_axis = data_axis if (data_axis and data_axis in mesh.axis_names) else None
+    q_spec = P(b_axis, None, None)
+    kv_spec = P(b_axis, None, seq_axis, None)
+    len_spec = P(b_axis)
+
+    def _decode(q, k_shard, v_shard, lengths):
+        idx = jax.lax.axis_index(seq_axis)
+        s_loc = k_shard.shape[2]
+        local_len = jnp.clip(lengths - idx * s_loc, 0, s_loc)
+        m, l, y = flash_decode(
+            q, k_shard, v_shard, local_len,
+            n_splits=n_splits, sm_scale=sm_scale, return_partials=True,
+            **kernel_kwargs,
+        )
+        mm = jnp.moveaxis(jax.lax.all_gather(m, seq_axis), 0, -3)
+        ll = jnp.moveaxis(jax.lax.all_gather(l, seq_axis), 0, -3)
+        yy = jnp.moveaxis(jax.lax.all_gather(y, seq_axis), 0, -3)
+        out = merge_partials(mm, ll, yy)  # [B, Hkv, G, D]
+        bb, hkv, g, d = out.shape
+        return out.reshape(bb, hkv * g, d).astype(q.dtype)
+
+    return jax.jit(
+        shard_map(
+            _decode,
+            mesh=mesh,
+            in_specs=(q_spec, kv_spec, kv_spec, len_spec),
             out_specs=q_spec,
             check_vma=False,
         )
