@@ -48,7 +48,8 @@ class KVCache(NamedTuple):
 
     @property
     def quantized(self) -> bool:
-        return self.k[0].dtype == jnp.int8
+        # any 8-bit cache (int8 or fp8_e4m3); both carry per-token scales
+        return jnp.dtype(self.k[0].dtype).itemsize == 1
 
 
 def init_cache(
@@ -57,18 +58,21 @@ def init_cache(
     max_len: int,
     *,
     quantized: bool = False,
+    quant_fmt: str = "int8",
 ) -> KVCache:
-    """Allocate a linear KV cache. quantized=True stores int8 + per-token
-    scales: choose it for CAPACITY (half the cache HBM -> 2x batch or
-    context at fixed memory), not latency — per-step it measures ~6-20%
-    behind bf16 (the append quantizes and writes 4 buffers/layer vs 2;
-    docs/perf_journal.md). Pair with quantize_decode_params for weights."""
+    """Allocate a linear KV cache. quantized=True stores 8-bit values
+    (quant_fmt: "int8" or "fp8") + per-token scales: choose it for CAPACITY
+    (half the cache HBM -> 2x batch or context at fixed memory), not
+    latency — per-step it measures ~6-20% behind bf16 (the append quantizes
+    and writes 4 buffers/layer vs 2; docs/perf_journal.md). Pair with
+    quantize_decode_params for weights."""
     shape = (batch, cfg.n_kv_heads, max_len, cfg.d_head)
     L = cfg.n_layers
     if quantized:
+        qdt = jnp.int8 if quant_fmt == "int8" else jnp.float8_e4m3fn
         return KVCache(
-            k=tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
-            v=tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
+            k=tuple(jnp.zeros(shape, qdt) for _ in range(L)),
+            v=tuple(jnp.zeros(shape, qdt) for _ in range(L)),
             k_scale=tuple(
                 jnp.zeros(shape[:-1] + (1,), jnp.float32) for _ in range(L)
             ),
@@ -104,8 +108,16 @@ def _quantize_and_write(cache: KVCache, layer_idx, k_new, v_new, lengths):
     """Write new KV (quantizing if the cache is int8). Returns the updated
     per-layer k/v (+scale) tuples; only layer_idx's buffer is touched."""
     if cache.quantized:
-        k_q, k_s = quantize_int8(k_new, axis=-1)
-        v_q, v_s = quantize_int8(v_new, axis=-1)
+        from flashattention_kernel_project_tpu.ops.quant import (
+            quantize_fp8_tokenwise,
+        )
+
+        quantizer = (
+            quantize_int8 if cache.k[0].dtype == jnp.int8
+            else quantize_fp8_tokenwise
+        )
+        k_q, k_s = quantizer(k_new, axis=-1)
+        v_q, v_s = quantizer(v_new, axis=-1)
         return (
             _set_layer(
                 cache.k, layer_idx,
@@ -436,6 +448,7 @@ def generate(
     max_new_tokens: int = 32,
     max_len: int | None = None,
     quantized_cache: bool = False,
+    quant_fmt: str = "int8",
     int8_weights: bool = False,
     n_splits: int | None = None,
     temperature: float = 0.0,
@@ -447,7 +460,9 @@ def generate(
     """Greedy (or temperature) generation. prompt [B, T] -> [B, T + new]."""
     b, t = prompt.shape
     max_len = max_len or (t + max_new_tokens)
-    cache = init_cache(cfg, b, max_len, quantized=quantized_cache)
+    cache = init_cache(
+        cfg, b, max_len, quantized=quantized_cache, quant_fmt=quant_fmt
+    )
     logits, cache = prefill(cfg, params, prompt, cache, interpret=interpret)
     dec_params = fuse_decode_params(cfg, params)
     if int8_weights:

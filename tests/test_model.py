@@ -185,3 +185,31 @@ def test_extend_quantized_cache(params):
     full = models.forward(CFG, params, tokens)
     assert_rel_l2(logits, np.asarray(full)[:, -1], tol=5e-2)
     assert np.all(np.asarray(cache.lengths) == 24)
+
+
+def test_fp8_linear_cache_decode_and_extend(params):
+    """fp8_e4m3 linear cache: generate and chunked prefill both route
+    through the fused-dequant kernels and track full precision."""
+    prompt = jax.random.randint(jax.random.PRNGKey(11), (2, 8), 0, CFG.vocab_size)
+    out = models.generate(
+        CFG, params, prompt, max_new_tokens=4, quantized_cache=True,
+        quant_fmt="fp8",
+    )
+    ref = prompt
+    for _ in range(4):
+        logits = models.forward(CFG, params, ref)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        ref = jnp.concatenate([ref, nxt[:, None]], axis=1)
+    # e4m3 (~2 mantissa digits) flips near-tied tokens earlier than int8:
+    # require the first generated token; later ones may legitimately diverge
+    np.testing.assert_array_equal(
+        np.asarray(out)[:, :9], np.asarray(ref)[:, :9]
+    )
+
+    tokens = jax.random.randint(jax.random.PRNGKey(12), (2, 24), 0, CFG.vocab_size)
+    cache = models.init_cache(CFG, 2, 64, quantized=True, quant_fmt="fp8")
+    assert cache.quantized and cache.k[0].dtype == jnp.float8_e4m3fn
+    _, cache = models.prefill(CFG, params, tokens[:, :16], cache)
+    logits, cache = models.extend(CFG, params, tokens[:, 16:], cache)
+    full = models.forward(CFG, params, tokens)
+    assert_rel_l2(logits, np.asarray(full)[:, -1], tol=5e-2)

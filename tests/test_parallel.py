@@ -231,3 +231,29 @@ def test_seq_sharded_decode(rng):
         jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths)
     )
     assert_rel_l2(got, np.asarray(single), tol=1e-5)
+
+
+def test_ulysses_gradients(rng):
+    """Ulysses (head<->seq all-to-all) is built from differentiable pieces;
+    grads through it must match the single-device kernel."""
+    mesh = parallel.make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    b, h, n, d = 1, 4, 128, 32
+    q = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+    fn = parallel.ulysses_attention(
+        mesh, causal=True, data_axis=None, block_q=32, block_k=32
+    )
+
+    def loss_u(q, k, v):
+        o = fn(q, k, v)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_s(q, k, v):
+        o = ops.flash_attention(q, k, v, causal=True, block_q=32, block_k=32)
+        return jnp.sum(o * jnp.cos(o))
+
+    gu = jax.grad(loss_u, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss_s, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gu, gs):
+        assert_rel_l2(np.asarray(a), np.asarray(b_), tol=1e-3)
