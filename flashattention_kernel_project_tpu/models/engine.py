@@ -192,6 +192,7 @@ def prefill(
             block_k=min(cfg.block_k, t),
             interpret=interpret,
             stable=cfg.attn_stable,
+            window=cfg.attn_window,
         )
         x = x + o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"]
         x = tfm._mlp_block(layer, x)
@@ -257,6 +258,7 @@ def extend(
             block_k=min(cfg.block_k, k_all[i].shape[2]),
             interpret=interpret,
             stable=cfg.attn_stable,
+            window=cfg.attn_window,
         )
         if cache.quantized:
             o = flash_attention_ragged_kv_quant(
@@ -426,11 +428,13 @@ def decode_step(
                 q_dec.astype(cfg.dtype),
                 k_all[i], ks_all[i], v_all[i], vs_all[i],
                 new_lengths, n_splits=n_splits, interpret=interpret,
+                window=cfg.attn_window,
             )
         else:
             o = flash_decode(
                 q_dec.astype(cfg.dtype), k_all[i], v_all[i],
                 new_lengths, n_splits=n_splits, interpret=interpret,
+                window=cfg.attn_window,
             )
         x = x + _proj(o.reshape(b, 1, cfg.q_dim), layer, "wo", x.dtype)
         x = _mlp(layer, x)

@@ -44,6 +44,12 @@ class TransformerConfig:
     # ops.flash_attention's `stable` doc). Backward is unaffected either
     # way, so this is primarily a serving/prefill knob.
     attn_stable: bool = True
+    # sliding-window attention (Mistral-style): each token attends its
+    # attn_window most recent tokens; None = full causal. Honored by the
+    # fused forward/backward, the ragged chunked-prefill kernel, and the
+    # decode kernels (out-of-window KV blocks/splits are skipped, so both
+    # prefill and decode cost O(window) per token).
+    attn_window: int | None = None
 
     @property
     def q_dim(self) -> int:
@@ -153,6 +159,7 @@ def _attention_block(cfg, layer, x, sin, cos, *, interpret=None):
         block_k=min(cfg.block_k, n),
         interpret=interpret,
         stable=cfg.attn_stable,
+        window=cfg.attn_window,
     )
     o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.q_dim)
     return x + o @ layer["wo"]

@@ -92,6 +92,7 @@ def _fwd_kernel(
     pipeline_subs: bool,
     stable: bool,
     quant: bool = False,
+    window: int | None = None,
 ):
     # quant=True adds per-token dequant scale refs for an 8-bit KV cache
     # (int8 / fp8_e4m3): dequant is fused at the K/V load stage — the slot
@@ -126,9 +127,18 @@ def _fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # Causal skip: KV block strictly above the diagonal touches nothing.
+    # Causal skip: KV block strictly above the diagonal touches nothing;
+    # with a sliding window, blocks entirely below every row's window start
+    # are equally dead (the block-level skip is where SWA's O(N*W) cost
+    # comes from — interior programs never run).
     if causal:
         diag_ok = kv_idx * block_k <= q_idx * block_q + q_offset + (block_q - 1)
+        if window is not None:
+            diag_ok = jnp.logical_and(
+                diag_ok,
+                kv_idx * block_k + (block_k - 1)
+                >= q_idx * block_q + q_offset - (window - 1),
+            )
     else:
         diag_ok = True
 
@@ -137,8 +147,10 @@ def _fwd_kernel(
     # Masked entries rely on exp(NEG_INF - m) flushing to exactly 0, which
     # needs a finite running max m for every row. KV blocks run in ascending
     # order and block 0 holds key 0, visible to every query row iff
-    # q_offset >= 0 — otherwise fall back to explicit post-exp zeroing.
-    zero_after_exp = causal and q_offset < 0
+    # q_offset >= 0 and no window truncates history — otherwise fall back
+    # to explicit post-exp zeroing (a row's first LIVE block can be fully
+    # masked for that row while m is still -inf).
+    zero_after_exp = causal and (q_offset < 0 or window is not None)
 
     def _compute(masked: bool):
         # sm_scale is pre-folded into q by the wrapper: one fewer VPU pass
@@ -200,6 +212,8 @@ def _fwd_kernel(
                 mask = col < kv_len if need_tail else None
                 if causal:
                     cm = col <= row
+                    if window is not None:
+                        cm = jnp.logical_and(cm, col > row - window)
                     mask = cm if mask is None else jnp.logical_and(mask, cm)
                 s_parts[i] = jnp.where(mask, s_parts[i], NEG_INF)
                 if zero_after_exp and stable:
@@ -314,6 +328,14 @@ def _fwd_kernel(
         )
         is_tail = (kv_idx == n_kv - 1) if need_tail else False
         needs_mask = jnp.logical_or(crosses_diag, jnp.asarray(is_tail))
+        if window is not None:
+            # block starts below the highest row's window start -> some
+            # (row, col) pairs fall outside the window
+            crosses_win = (
+                kv_idx * block_k
+                < q_idx * block_q + q_offset + (block_q - 1) - (window - 1)
+            )
+            needs_mask = jnp.logical_or(needs_mask, crosses_win)
         pl.when(jnp.logical_and(diag_ok, needs_mask))(lambda: _compute(True))
         pl.when(jnp.logical_and(diag_ok, jnp.logical_not(needs_mask)))(
             lambda: _compute(False)
@@ -351,8 +373,10 @@ def _fwd(
     stable: bool = True,
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
+    window: int | None = None,
 ):
     quant = k_scale is not None
+    assert window is None or (causal and window >= 1), (window, causal)
     if interpret is None:
         interpret = default_interpret()
     b, hq, n, d = q.shape
@@ -404,6 +428,7 @@ def _fwd(
         pipeline_subs=pipeline_subs,
         stable=stable,
         quant=quant,
+        window=window,
     )
     kv_map = lambda bb, h, i, j: (bb, h // group, j, 0)  # noqa: E731
     scale_map = lambda bb, h, i, j: (bb, h // group, 0, j)  # noqa: E731
@@ -468,6 +493,7 @@ def _fwd_kernel_ragged(
     block_k: int,
     stable: bool,
     quant: bool = False,
+    window: int | None = None,
 ):
     # refs: len_ref/off_ref are SMEM [B, 1] int32 (valid KV tokens and
     # causal query-position offset per batch row); quant=True adds lane-major
@@ -501,6 +527,12 @@ def _fwd_kernel_ragged(
         live = jnp.logical_and(
             live, kv_idx * block_k <= q_idx * block_q + q_off + (block_q - 1)
         )
+        if window is not None:
+            live = jnp.logical_and(
+                live,
+                kv_idx * block_k + (block_k - 1)
+                >= q_idx * block_q + q_off - (window - 1),
+            )
 
     def _compute(masked: bool):
         # q arrives sm_scale*log2e-prefolded (wrapper); softmax runs in the
@@ -533,6 +565,8 @@ def _fwd_kernel_ragged(
                     + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
                 )
                 mask = jnp.logical_and(mask, col <= row)
+                if window is not None:
+                    mask = jnp.logical_and(mask, col > row - window)
             s = jnp.where(mask, s, NEG_INF)
 
         if not stable:
@@ -582,6 +616,12 @@ def _fwd_kernel_ragged(
         crosses = (
             kv_idx * block_k + (block_k - 1) > q_idx * block_q + q_off
         )
+        if window is not None:
+            crosses = jnp.logical_or(
+                crosses,
+                kv_idx * block_k
+                < q_idx * block_q + q_off + (block_q - 1) - (window - 1),
+            )
         needs_mask = jnp.logical_or(is_tail, crosses)
     else:
         needs_mask = is_tail
@@ -613,8 +653,10 @@ def _fwd_ragged(
     stable: bool,
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     quant = k_scale is not None
+    assert window is None or (causal and window >= 1), (window, causal)
     if interpret is None:
         interpret = default_interpret()
     b, hq, n, d = q.shape
@@ -655,6 +697,7 @@ def _fwd_ragged(
         block_k=block_k,
         stable=stable,
         quant=quant,
+        window=window,
     )
     kv_map = lambda bb, h, i, j: (bb, h // group, j, 0)  # noqa: E731
     scale_map = lambda bb, h, i, j: (bb, h // group, 0, j)  # noqa: E731
@@ -703,6 +746,7 @@ def _fwd_ragged(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "interpret", "stable",
+        "window",
     ),
 )
 def flash_attention_ragged(
@@ -718,6 +762,7 @@ def flash_attention_ragged(
     block_k: int | None = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
     stable: bool = True,
+    window: int | None = None,
 ) -> jax.Array:
     """Fused attention with per-batch KV lengths and causal query offsets.
 
@@ -732,7 +777,7 @@ def flash_attention_ragged(
     """
     return _fwd_ragged(
         q, k, v, kv_lens, q_offsets, causal, sm_scale, block_q, block_k,
-        interpret, stable,
+        interpret, stable, window=window,
     )
 
 
@@ -740,6 +785,7 @@ def flash_attention_ragged(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "interpret", "stable",
+        "window",
     ),
 )
 def flash_attention_ragged_kv_quant(
@@ -757,6 +803,7 @@ def flash_attention_ragged_kv_quant(
     block_k: int | None = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
     stable: bool = True,
+    window: int | None = None,
 ) -> jax.Array:
     """flash_attention_ragged against an 8-bit quantized KV cache.
 
@@ -769,7 +816,7 @@ def flash_attention_ragged_kv_quant(
     """
     return _fwd_ragged(
         q, k_q, v_q, kv_lens, q_offsets, causal, sm_scale, block_q, block_k,
-        interpret, stable, k_scale=k_scale, v_scale=v_scale,
+        interpret, stable, k_scale=k_scale, v_scale=v_scale, window=window,
     )
 
 
@@ -798,6 +845,7 @@ def _bwd_dkdv_kernel(
     sm_scale: float,
     block_q: int,
     block_k: int,
+    window: int | None = None,
 ):
     kv_idx = pl.program_id(2)
     t = pl.program_id(3)
@@ -809,9 +857,21 @@ def _bwd_dkdv_kernel(
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     if causal:
-        # q block contributes iff its last row reaches this kv block
+        # q block contributes iff its last row reaches this kv block (and,
+        # windowed, iff its first row's window still covers the block)
         live = q_idx * block_q + (block_q - 1) + q_offset >= kv_idx * block_k
         crosses = q_idx * block_q + q_offset < kv_idx * block_k + (block_k - 1)
+        if window is not None:
+            live = jnp.logical_and(
+                live,
+                q_idx * block_q + q_offset
+                <= kv_idx * block_k + (block_k - 1) + (window - 1),
+            )
+            crosses = jnp.logical_or(
+                crosses,
+                q_idx * block_q + q_offset + (block_q - 1)
+                > kv_idx * block_k + (window - 1),
+            )
     else:
         live = True
         crosses = False
@@ -836,7 +896,10 @@ def _bwd_dkdv_kernel(
             row = q_idx * block_q + q_offset + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
             )
-            s = jnp.where(col <= row, s, NEG_INF)
+            cm = col <= row
+            if window is not None:
+                cm = jnp.logical_and(cm, col > row - window)
+            s = jnp.where(cm, s, NEG_INF)
         # p = exp2(s - lse), both in the log2 domain (wrapper folds log2e);
         # padded q rows carry lse = +1e30 -> p = 0
         p = jnp.exp2((s - lse).astype(v.dtype))
@@ -887,6 +950,7 @@ def _bwd_dq_kernel(
     sm_scale: float,
     block_q: int,
     block_k: int,
+    window: int | None = None,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -901,6 +965,17 @@ def _bwd_dq_kernel(
         crosses = (
             kv_idx * block_k + (block_k - 1) > q_idx * block_q + q_offset
         )
+        if window is not None:
+            live = jnp.logical_and(
+                live,
+                kv_idx * block_k + (block_k - 1)
+                >= q_idx * block_q + q_offset - (window - 1),
+            )
+            crosses = jnp.logical_or(
+                crosses,
+                kv_idx * block_k
+                < q_idx * block_q + q_offset + (block_q - 1) - (window - 1),
+            )
     else:
         live = True
         crosses = False
@@ -928,6 +1003,8 @@ def _bwd_dq_kernel(
                     jnp.int32, (block_q, block_k), 0
                 )
                 cm = col <= row
+                if window is not None:
+                    cm = jnp.logical_and(cm, col > row - window)
                 mask = cm if mask is None else jnp.logical_and(mask, cm)
             s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp2((s - lse).astype(v.dtype))
@@ -962,7 +1039,8 @@ def _bwd_dq_kernel(
 
 
 def _bwd_pallas(
-    res, g, causal, sm_scale, q_offset, block_q, block_k, interpret
+    res, g, causal, sm_scale, q_offset, block_q, block_k, interpret,
+    window=None,
 ):
     """FlashAttention-2 backward as two Pallas kernels. Returns (dq, dk, dv).
 
@@ -1026,6 +1104,7 @@ def _bwd_pallas(
         sm_scale=1.0 / _LOG2E,
         block_q=block_q,
         block_k=block_k,
+        window=window,
     )
     dk, dv = pl.pallas_call(
         dkdv_kernel,
@@ -1070,6 +1149,7 @@ def _bwd_pallas(
         sm_scale=sm_scale,
         block_q=block_q,
         block_k=block_k,
+        window=window,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -1160,39 +1240,42 @@ def _bwd_reference(res, g, causal, sm_scale, q_offset, block_k):
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
+)
 def _flash_attention(
     q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub,
-    stable,
+    stable, window,
 ):
     out, _ = _fwd(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
-        num_sub, stable=stable,
+        num_sub, stable=stable, window=window,
     )
     return out
 
 
 def _flash_attention_fwd(
     q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub,
-    stable,
+    stable, window,
 ):
     out, lse = _fwd(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
-        num_sub, stable=stable,
+        num_sub, stable=stable, window=window,
     )
     return out, (q, k, v, out, lse)
 
 
 def _flash_attention_bwd(
     causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub, stable,
-    res, g,
+    window, res, g,
 ):
     # the backward recompute is always max-stable (it subtracts the saved
     # lse, which bounds the exponent), so `stable` only shapes the forward
     if sm_scale is None:
         sm_scale = 1.0 / (res[0].shape[-1] ** 0.5)
     return _bwd_pallas(
-        res, g, causal, sm_scale, q_offset, block_q, block_k, interpret
+        res, g, causal, sm_scale, q_offset, block_q, block_k, interpret,
+        window=window,
     )
 
 
@@ -1218,6 +1301,7 @@ def flash_attention(
     interpret: bool | None = None,
     num_sub: int = DEFAULT_NUM_SUB,
     stable: bool = True,
+    window: int | None = None,
 ) -> jax.Array:
     """Fused multi-head / grouped-query FlashAttention forward.
 
@@ -1227,6 +1311,10 @@ def flash_attention(
       causal: apply causal mask; query i sees key j iff j <= i + q_offset.
       q_offset: static position offset of the query block within the KV
         sequence (for chunked prefill).
+      window: sliding-window size (requires causal): query i attends its
+        `window` most recent keys, j in (i + q_offset - window, i + q_offset].
+        KV blocks wholly outside the band are skipped at the grid level, so
+        cost is O(N * window); forward AND backward honor the band.
       sm_scale: score scale, default 1/sqrt(head_dim).
       num_sub: KV sub-tiles per block; >1 interleaves the MXU QK/PV dots
         with the VPU softmax chain (measured ~MXU/VPU overlap lever).
@@ -1243,20 +1331,20 @@ def flash_attention(
     """
     return _flash_attention(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
-        num_sub, stable,
+        num_sub, stable, window,
     )
 
 
 def flash_attention_with_lse(
     q, k, v, *, causal=False, sm_scale=None, q_offset=0,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=None,
-    num_sub=DEFAULT_NUM_SUB, stable=True,
+    num_sub=DEFAULT_NUM_SUB, stable=True, window=None,
 ):
     """Forward that also returns logsumexp [b, hq, n] — the (m, l) carry the
     ring/context-parallel layer merges across devices (non-differentiable)."""
     return _fwd(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
-        num_sub, stable=stable,
+        num_sub, stable=stable, window=window,
     )
 
 
@@ -1264,7 +1352,7 @@ def flash_attention_with_lse(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "q_offset", "block_q", "block_k", "interpret",
-        "stable",
+        "stable", "window",
     ),
 )
 def flash_attention_kv_quant(
@@ -1281,6 +1369,7 @@ def flash_attention_kv_quant(
     block_k: int | None = DEFAULT_BLOCK_K,
     interpret: bool | None = None,
     stable: bool = True,
+    window: int | None = None,
 ) -> jax.Array:
     """Fused forward attention against an 8-bit quantized KV cache.
 
@@ -1297,6 +1386,7 @@ def flash_attention_kv_quant(
     out, _ = _fwd(
         q, k_q, v_q, causal, sm_scale, q_offset, block_q, block_k,
         interpret, stable=stable, k_scale=k_scale, v_scale=v_scale,
+        window=window,
     )
     return out
 

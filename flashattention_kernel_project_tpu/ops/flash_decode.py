@@ -46,6 +46,7 @@ def _decode_kernel(
     *,
     block_s: int,
     sm_scale: float,
+    window: int | None = None,
 ):
     split = pl.program_id(2)
     length = len_ref[pl.program_id(0)]
@@ -55,7 +56,13 @@ def _decode_kernel(
     l_ref[0, 0, 0] = jnp.zeros_like(l_ref[0, 0, 0])
     y_ref[0, 0, 0] = jnp.zeros_like(y_ref[0, 0, 0])
 
-    @pl.when(split * block_s < length)
+    live = split * block_s < length
+    if window is not None:
+        # sliding window: the decode query attends keys
+        # [max(0, length - window), length)
+        live = jnp.logical_and(live, (split + 1) * block_s > length - window)
+
+    @pl.when(live)
     def _compute():
         q = q_ref[0, 0]  # [GP, D]
         k = k_ref[0, 0].astype(q.dtype)  # [block_s, D]
@@ -69,6 +76,8 @@ def _decode_kernel(
 
         col = split * block_s + jax.lax.broadcasted_iota(jnp.int32, (gp, block_s), 1)
         mask = col < length
+        if window is not None:
+            mask = jnp.logical_and(mask, col >= length - window)
         s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)  # [GP, 1]
         e = jnp.where(mask, jnp.exp(s - m), 0.0)
@@ -96,6 +105,7 @@ def _decode_kernel_int8(
     *,
     block_s: int,
     sm_scale: float,
+    window: int | None = None,
 ):
     split = pl.program_id(2)
     length = len_ref[pl.program_id(0)]
@@ -105,7 +115,11 @@ def _decode_kernel_int8(
     l_ref[0, 0, 0] = jnp.zeros_like(l_ref[0, 0, 0])
     y_ref[0, 0, 0] = jnp.zeros_like(y_ref[0, 0, 0])
 
-    @pl.when(split * block_s < length)
+    live = split * block_s < length
+    if window is not None:
+        live = jnp.logical_and(live, (split + 1) * block_s > length - window)
+
+    @pl.when(live)
     def _compute():
         q = q_ref[0, 0]
         # dequant at the load stage: int8 -> bf16 cast only; scales applied
@@ -122,6 +136,8 @@ def _decode_kernel_int8(
 
         col = split * block_s + jax.lax.broadcasted_iota(jnp.int32, (gp, block_s), 1)
         mask = col < length
+        if window is not None:
+            mask = jnp.logical_and(mask, col >= length - window)
         s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.where(mask, jnp.exp(s - m), 0.0)
@@ -138,12 +154,18 @@ def _decode_kernel_int8(
         y_ref[0, 0, 0] = y
 
 
-def _clamp_to_live(ln, bb, s, block_s):
-    """Split index clamped to the last live block of sequence bb: dead
-    splits re-map to it so consecutive grid steps fetch the same block and
-    the pipeline elides their DMAs (see flash_decode)."""
+def _clamp_to_live(ln, bb, s, block_s, window=None):
+    """Split index clamped to the live block range of sequence bb: dead
+    splits re-map to a live one so consecutive grid steps fetch the same
+    block and the pipeline elides their DMAs (see flash_decode). With a
+    sliding window, splits wholly below the window start are dead too and
+    clamp UP to the first live split."""
     last = jnp.maximum(jax.lax.div(ln[bb] + block_s - 1, block_s) - 1, 0)
-    return jnp.minimum(s, last)
+    s = jnp.minimum(s, last)
+    if window is not None:
+        first = jnp.maximum(ln[bb] - window, 0) // block_s
+        s = jnp.maximum(s, first)
+    return s
 
 
 def merge_partials(m, l, y):
@@ -161,7 +183,9 @@ def merge_partials(m, l, y):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_splits", "sm_scale", "interpret", "return_partials"),
+    static_argnames=(
+        "n_splits", "sm_scale", "interpret", "return_partials", "window",
+    ),
 )
 def flash_decode(
     q: jax.Array,
@@ -173,8 +197,13 @@ def flash_decode(
     sm_scale: float | None = None,
     interpret: bool | None = None,
     return_partials: bool = False,
+    window: int | None = None,
 ) -> jax.Array:
     """Single-token GQA decode against a (padded) KV cache.
+
+    window: sliding-window decode — attend only the `window` most recent
+    keys [max(0, length - window), length); out-of-window splits are
+    compute-skipped AND their DMAs elided (index-map clamp).
 
     return_partials=True skips the final normalize and returns the folded
     unnormalized streaming state (m, l, y) with shapes [B, Hkv, G, 1]/
@@ -223,7 +252,9 @@ def flash_decode(
         k_cache = jnp.pad(k_cache, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
         v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
 
-    kernel = functools.partial(_decode_kernel, block_s=block_s, sm_scale=sm_scale)
+    kernel = functools.partial(
+        _decode_kernel, block_s=block_s, sm_scale=sm_scale, window=window
+    )
 
     # Dead splits (entirely past `length`) clamp their K/V block index to the
     # last live split: consecutive grid steps then map to the same block and
@@ -231,7 +262,7 @@ def flash_decode(
     # blocks of HBM traffic, not S_max/block (a 512-token sequence in a
     # 3072-token cache measured 52.7 vs 75.4 us; docs/perf_journal.md).
     def _kv_map(bb, h, s, ln):
-        return (bb, h, _clamp_to_live(ln, bb, s, block_s), 0)
+        return (bb, h, _clamp_to_live(ln, bb, s, block_s, window), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -279,7 +310,7 @@ def flash_decode(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_splits", "sm_scale", "interpret")
+    jax.jit, static_argnames=("n_splits", "sm_scale", "interpret", "window")
 )
 def flash_decode_int8(
     q: jax.Array,
@@ -292,6 +323,7 @@ def flash_decode_int8(
     n_splits: int | None = None,
     sm_scale: float | None = None,
     interpret: bool | None = None,
+    window: int | None = None,
 ) -> jax.Array:
     """flash_decode against a quantized KV cache (per-token scales, dequant
     fused into the kernel's K/V load stage — the slot where the reference
@@ -336,15 +368,15 @@ def flash_decode_int8(
         v_scale = jnp.pad(v_scale, pads_sc)
 
     kernel = functools.partial(
-        _decode_kernel_int8, block_s=block_s, sm_scale=sm_scale
+        _decode_kernel_int8, block_s=block_s, sm_scale=sm_scale, window=window
     )
 
     # same dead-split DMA elision as the bf16 kernel (see flash_decode)
     def _kv_map(bb, h, s, ln):
-        return (bb, h, _clamp_to_live(ln, bb, s, block_s), 0)
+        return (bb, h, _clamp_to_live(ln, bb, s, block_s, window), 0)
 
     def _scale_map(bb, h, s, ln):
-        return (bb, h, 0, _clamp_to_live(ln, bb, s, block_s))
+        return (bb, h, 0, _clamp_to_live(ln, bb, s, block_s, window))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

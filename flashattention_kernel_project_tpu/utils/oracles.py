@@ -44,11 +44,13 @@ def attention(
     scale: float | None = None,
     causal: bool = False,
     q_offset: int = 0,
+    window: int | None = None,
 ) -> np.ndarray:
     """Naive attention oracle, [..., N, D] x [..., S, D] -> [..., N, Dv].
 
     `q_offset` positions the query block within the KV sequence for causal
-    decode (query i attends to kv j iff j <= i + q_offset).
+    decode (query i attends to kv j iff j <= i + q_offset). `window` (with
+    causal) limits each query to its `window` most recent keys incl. self.
     """
     q64 = q.astype(np.float64)
     k64 = k.astype(np.float64)
@@ -61,7 +63,10 @@ def attention(
     scores = (q64 @ k64.swapaxes(-1, -2)) * scale
     if causal:
         n, s = scores.shape[-2], scores.shape[-1]
-        mask = np.arange(s)[None, :] > (np.arange(n)[:, None] + q_offset)
+        row = np.arange(n)[:, None] + q_offset
+        mask = np.arange(s)[None, :] > row
+        if window is not None:
+            mask |= np.arange(s)[None, :] <= row - window
         scores = np.where(mask, -np.inf, scores)
     m = np.max(scores, axis=-1, keepdims=True)
     m = np.where(np.isfinite(m), m, 0.0)  # fully-masked rows
@@ -78,6 +83,7 @@ def gqa_attention(
     scale: float | None = None,
     causal: bool = False,
     q_offset: int = 0,
+    window: int | None = None,
 ) -> np.ndarray:
     """Grouped-query attention oracle. q: [B, Hq, N, D], k/v: [B, Hkv, S, D]."""
     hq, hkv = q.shape[1], k.shape[1]
@@ -85,7 +91,9 @@ def gqa_attention(
     group = hq // hkv
     k = np.repeat(k, group, axis=1)
     v = np.repeat(v, group, axis=1)
-    return attention(q, k, v, scale=scale, causal=causal, q_offset=q_offset)
+    return attention(
+        q, k, v, scale=scale, causal=causal, q_offset=q_offset, window=window
+    )
 
 
 def online_softmax_merge(state_a, state_b):

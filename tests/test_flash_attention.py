@@ -403,3 +403,94 @@ def test_flash_ragged_kv_quant(rng, stable):
             causal=True, q_offset=int(q_offsets[i]),
         )
         assert_rel_l2(got[i : i + 1], exp, tol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window attention (causal band; block-level skip outside the band)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("stable", [True, False])
+@pytest.mark.parametrize("window", [48, 128, 1000])
+def test_flash_forward_window(rng, window, stable):
+    """Windowed causal forward vs the banded oracle; window=1000 > seq is
+    identical to plain causal; the band crosses many 32-blocks."""
+    q, k, v = _rand_qkv(rng, 1, 4, 2, 256, 256, 32)
+    got = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=True, block_q=32, block_k=32, window=window, stable=stable,
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=True, window=window)
+    assert_rel_l2(got, exp, tol=1e-2)
+    if window > 256:
+        plain = ops.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            causal=True, block_q=32, block_k=32, stable=stable,
+        )
+        assert_rel_l2(got, np.asarray(plain), tol=1e-6)
+
+
+def test_flash_window_gradients(rng):
+    """Backward honors the band: grads vs naive banded-softmax autodiff."""
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 128, 32)
+    qj, kj, vj = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    window = 40
+
+    def naive(q, k, v):
+        s = jnp.einsum("bhnd,bhsd->bhns", q, k) / np.sqrt(q.shape[-1])
+        row = jnp.arange(128)[:, None]
+        col = jnp.arange(128)[None, :]
+        mask = jnp.logical_or(col > row, col <= row - window)
+        s = jnp.where(mask, -1e30, s)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhns,bhsd->bhnd", p, v)
+
+    def loss_f(q, k, v):
+        o = ops.flash_attention(
+            q, k, v, causal=True, block_q=32, block_k=32, window=window
+        )
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_n(q, k, v):
+        o = naive(q, k, v)
+        return jnp.sum(o * jnp.cos(o))
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(qj, kj, vj)
+    gn = jax.grad(loss_n, argnums=(0, 1, 2))(qj, kj, vj)
+    for a, b in zip(gf, gn):
+        assert_rel_l2(np.asarray(a), np.asarray(b), tol=1e-3)
+
+
+def test_flash_ragged_window(rng):
+    """Ragged kernel with a window: per-batch lengths/offsets + band."""
+    b, hq, hkv, n, s, d = 2, 4, 2, 64, 160, 32
+    q = rng.standard_normal((b, hq, n, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    kv_lens = np.array([160, 100], np.int32)
+    q_offsets = np.array([96, 36], np.int32)
+    window = 50
+    got = np.asarray(ops.flash_attention_ragged(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(kv_lens), jnp.asarray(q_offsets),
+        causal=True, block_q=32, block_k=32, window=window,
+    ))
+    for i in range(b):
+        exp = oracles.gqa_attention(
+            q[i : i + 1], k[i : i + 1, :, : kv_lens[i]],
+            v[i : i + 1, :, : kv_lens[i]],
+            causal=True, q_offset=int(q_offsets[i]), window=window,
+        )
+        assert_rel_l2(got[i : i + 1], exp, tol=1e-2)
+
+
+def test_flash_kv_quant_window(rng):
+    """Windowed forward against the quantized cache."""
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 128, 32)
+    k_q, k_s, v_q, v_s = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
+    got = ops.flash_attention_kv_quant(
+        jnp.asarray(q), k_q, k_s, v_q, v_s,
+        causal=True, block_q=32, block_k=32, window=40, stable=False,
+    )
+    kd, vd = _dequant_kv(k_q, k_s, v_q, v_s)
+    exp = oracles.gqa_attention(q, kd, vd, causal=True, window=40)
+    assert_rel_l2(got, exp, tol=1e-2)

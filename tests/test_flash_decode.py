@@ -110,3 +110,48 @@ def test_flash_decode_fp8(rng):
             causal=False,
         )[:, :, 0]
         assert_rel_l2(np.asarray(got)[i : i + 1], exp, tol=1e-2)
+
+
+def test_flash_decode_window(rng):
+    """Sliding-window decode: only the last `window` keys contribute;
+    out-of-window splits are skipped."""
+    b, hq, hkv, s, d = 2, 8, 2, 512, 64
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    lengths = np.array([512, 300], np.int32)
+    window = 128
+    got = np.asarray(ops.flash_decode(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(lengths), n_splits=4, window=window,
+    ))
+    for i in range(b):
+        lo = max(0, int(lengths[i]) - window)
+        exp = oracles.gqa_attention(
+            q[i : i + 1, :, None], k[i : i + 1, :, lo : lengths[i]],
+            v[i : i + 1, :, lo : lengths[i]], causal=False,
+        )[:, :, 0]
+        assert_rel_l2(got[i : i + 1], exp, tol=1e-2)
+
+
+def test_flash_decode_int8_window(rng):
+    b, hq, hkv, s, d = 2, 8, 2, 384, 32
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    lengths = np.array([384, 200], np.int32)
+    window = 100
+    k_q, k_s, v_q, v_s = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
+    got = np.asarray(ops.flash_decode_int8(
+        jnp.asarray(q), k_q, k_s, v_q, v_s, jnp.asarray(lengths),
+        n_splits=3, window=window,
+    ))
+    kd = np.asarray(k_q, np.float32) * np.asarray(k_s, np.float32)
+    vd = np.asarray(v_q, np.float32) * np.asarray(v_s, np.float32)
+    for i in range(b):
+        lo = max(0, int(lengths[i]) - window)
+        exp = oracles.gqa_attention(
+            q[i : i + 1, :, None], kd[i : i + 1, :, lo : lengths[i]],
+            vd[i : i + 1, :, lo : lengths[i]], causal=False,
+        )[:, :, 0]
+        assert_rel_l2(got[i : i + 1], exp, tol=1e-2)

@@ -2,6 +2,8 @@
 full-forward reference (KV-cached generation must match teacher-forced
 logits)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -213,3 +215,20 @@ def test_fp8_linear_cache_decode_and_extend(params):
     logits, cache = models.extend(CFG, params, tokens[:, 16:], cache)
     full = models.forward(CFG, params, tokens)
     assert_rel_l2(logits, np.asarray(full)[:, -1], tol=5e-2)
+
+
+def test_sliding_window_decode_matches_teacher_forcing():
+    """attn_window wired end to end: windowed generate must equal the
+    windowed full-forward reference (prefill kernel band == decode band)."""
+    cfg = dataclasses.replace(CFG, attn_window=12)
+    params = models.init_params(cfg, jax.random.PRNGKey(13))
+    prompt = jax.random.randint(jax.random.PRNGKey(14), (2, 20), 0, cfg.vocab_size)
+    n_new = 5
+
+    out = models.generate(cfg, params, prompt, max_new_tokens=n_new)
+    ref = prompt
+    for _ in range(n_new):
+        logits = models.forward(cfg, params, ref)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        ref = jnp.concatenate([ref, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
