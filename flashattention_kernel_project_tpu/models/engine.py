@@ -193,6 +193,7 @@ def prefill(
             interpret=interpret,
             stable=cfg.attn_stable,
             window=cfg.attn_window,
+            sinks=cfg.attn_sinks,
         )
         x = x + o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"]
         x = tfm._mlp_block(layer, x)
@@ -259,6 +260,7 @@ def extend(
             interpret=interpret,
             stable=cfg.attn_stable,
             window=cfg.attn_window,
+            sinks=cfg.attn_sinks,
         )
         if cache.quantized:
             o = flash_attention_ragged_kv_quant(
@@ -428,13 +430,13 @@ def decode_step(
                 q_dec.astype(cfg.dtype),
                 k_all[i], ks_all[i], v_all[i], vs_all[i],
                 new_lengths, n_splits=n_splits, interpret=interpret,
-                window=cfg.attn_window,
+                window=cfg.attn_window, sinks=cfg.attn_sinks,
             )
         else:
             o = flash_decode(
                 q_dec.astype(cfg.dtype), k_all[i], v_all[i],
                 new_lengths, n_splits=n_splits, interpret=interpret,
-                window=cfg.attn_window,
+                window=cfg.attn_window, sinks=cfg.attn_sinks,
             )
         x = x + _proj(o.reshape(b, 1, cfg.q_dim), layer, "wo", x.dtype)
         x = _mlp(layer, x)

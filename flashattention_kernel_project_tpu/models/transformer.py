@@ -50,6 +50,9 @@ class TransformerConfig:
     # decode kernels (out-of-window KV blocks/splits are skipped, so both
     # prefill and decode cost O(window) per token).
     attn_window: int | None = None
+    # with attn_window: keep the first attn_sinks tokens always visible
+    # (StreamingLLM attention sinks)
+    attn_sinks: int = 0
 
     @property
     def q_dim(self) -> int:
@@ -160,6 +163,7 @@ def _attention_block(cfg, layer, x, sin, cos, *, interpret=None):
         interpret=interpret,
         stable=cfg.attn_stable,
         window=cfg.attn_window,
+        sinks=cfg.attn_sinks,
     )
     o = o.transpose(0, 2, 1, 3).reshape(b, n, cfg.q_dim)
     return x + o @ layer["wo"]

@@ -93,6 +93,7 @@ def _fwd_kernel(
     stable: bool,
     quant: bool = False,
     window: int | None = None,
+    sinks: int = 0,
 ):
     # quant=True adds per-token dequant scale refs for an 8-bit KV cache
     # (int8 / fp8_e4m3): dequant is fused at the K/V load stage — the slot
@@ -134,11 +135,15 @@ def _fwd_kernel(
     if causal:
         diag_ok = kv_idx * block_k <= q_idx * block_q + q_offset + (block_q - 1)
         if window is not None:
-            diag_ok = jnp.logical_and(
-                diag_ok,
+            in_band = (
                 kv_idx * block_k + (block_k - 1)
-                >= q_idx * block_q + q_offset - (window - 1),
+                >= q_idx * block_q + q_offset - (window - 1)
             )
+            if sinks:
+                # attention-sink blocks (first `sinks` keys) stay live
+                # below the window band (StreamingLLM-style)
+                in_band = jnp.logical_or(in_band, kv_idx * block_k < sinks)
+            diag_ok = jnp.logical_and(diag_ok, in_band)
     else:
         diag_ok = True
 
@@ -213,7 +218,10 @@ def _fwd_kernel(
                 if causal:
                     cm = col <= row
                     if window is not None:
-                        cm = jnp.logical_and(cm, col > row - window)
+                        wm = col > row - window
+                        if sinks:
+                            wm = jnp.logical_or(wm, col < sinks)
+                        cm = jnp.logical_and(cm, wm)
                     mask = cm if mask is None else jnp.logical_and(mask, cm)
                 s_parts[i] = jnp.where(mask, s_parts[i], NEG_INF)
                 if zero_after_exp and stable:
@@ -374,9 +382,11 @@ def _fwd(
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
     window: int | None = None,
+    sinks: int = 0,
 ):
     quant = k_scale is not None
     assert window is None or (causal and window >= 1), (window, causal)
+    assert sinks == 0 or window is not None, (sinks, window)
     if interpret is None:
         interpret = default_interpret()
     b, hq, n, d = q.shape
@@ -429,6 +439,7 @@ def _fwd(
         stable=stable,
         quant=quant,
         window=window,
+        sinks=sinks,
     )
     kv_map = lambda bb, h, i, j: (bb, h // group, j, 0)  # noqa: E731
     scale_map = lambda bb, h, i, j: (bb, h // group, 0, j)  # noqa: E731
@@ -494,6 +505,7 @@ def _fwd_kernel_ragged(
     stable: bool,
     quant: bool = False,
     window: int | None = None,
+    sinks: int = 0,
 ):
     # refs: len_ref/off_ref are SMEM [B, 1] int32 (valid KV tokens and
     # causal query-position offset per batch row); quant=True adds lane-major
@@ -528,11 +540,13 @@ def _fwd_kernel_ragged(
             live, kv_idx * block_k <= q_idx * block_q + q_off + (block_q - 1)
         )
         if window is not None:
-            live = jnp.logical_and(
-                live,
+            in_band = (
                 kv_idx * block_k + (block_k - 1)
-                >= q_idx * block_q + q_off - (window - 1),
+                >= q_idx * block_q + q_off - (window - 1)
             )
+            if sinks:
+                in_band = jnp.logical_or(in_band, kv_idx * block_k < sinks)
+            live = jnp.logical_and(live, in_band)
 
     def _compute(masked: bool):
         # q arrives sm_scale*log2e-prefolded (wrapper); softmax runs in the
@@ -566,7 +580,10 @@ def _fwd_kernel_ragged(
                 )
                 mask = jnp.logical_and(mask, col <= row)
                 if window is not None:
-                    mask = jnp.logical_and(mask, col > row - window)
+                    wm = col > row - window
+                    if sinks:
+                        wm = jnp.logical_or(wm, col < sinks)
+                    mask = jnp.logical_and(mask, wm)
             s = jnp.where(mask, s, NEG_INF)
 
         if not stable:
@@ -654,9 +671,11 @@ def _fwd_ragged(
     k_scale: jax.Array | None = None,
     v_scale: jax.Array | None = None,
     window: int | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     quant = k_scale is not None
     assert window is None or (causal and window >= 1), (window, causal)
+    assert sinks == 0 or window is not None, (sinks, window)
     if interpret is None:
         interpret = default_interpret()
     b, hq, n, d = q.shape
@@ -698,6 +717,7 @@ def _fwd_ragged(
         stable=stable,
         quant=quant,
         window=window,
+        sinks=sinks,
     )
     kv_map = lambda bb, h, i, j: (bb, h // group, j, 0)  # noqa: E731
     scale_map = lambda bb, h, i, j: (bb, h // group, 0, j)  # noqa: E731
@@ -746,7 +766,7 @@ def _fwd_ragged(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "interpret", "stable",
-        "window",
+        "window", "sinks",
     ),
 )
 def flash_attention_ragged(
@@ -763,6 +783,7 @@ def flash_attention_ragged(
     interpret: bool | None = None,
     stable: bool = True,
     window: int | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """Fused attention with per-batch KV lengths and causal query offsets.
 
@@ -777,7 +798,7 @@ def flash_attention_ragged(
     """
     return _fwd_ragged(
         q, k, v, kv_lens, q_offsets, causal, sm_scale, block_q, block_k,
-        interpret, stable, window=window,
+        interpret, stable, window=window, sinks=sinks,
     )
 
 
@@ -785,7 +806,7 @@ def flash_attention_ragged(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "block_q", "block_k", "interpret", "stable",
-        "window",
+        "window", "sinks",
     ),
 )
 def flash_attention_ragged_kv_quant(
@@ -804,6 +825,7 @@ def flash_attention_ragged_kv_quant(
     interpret: bool | None = None,
     stable: bool = True,
     window: int | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """flash_attention_ragged against an 8-bit quantized KV cache.
 
@@ -817,6 +839,7 @@ def flash_attention_ragged_kv_quant(
     return _fwd_ragged(
         q, k_q, v_q, kv_lens, q_offsets, causal, sm_scale, block_q, block_k,
         interpret, stable, k_scale=k_scale, v_scale=v_scale, window=window,
+        sinks=sinks,
     )
 
 
@@ -846,6 +869,7 @@ def _bwd_dkdv_kernel(
     block_q: int,
     block_k: int,
     window: int | None = None,
+    sinks: int = 0,
 ):
     kv_idx = pl.program_id(2)
     t = pl.program_id(3)
@@ -862,11 +886,13 @@ def _bwd_dkdv_kernel(
         live = q_idx * block_q + (block_q - 1) + q_offset >= kv_idx * block_k
         crosses = q_idx * block_q + q_offset < kv_idx * block_k + (block_k - 1)
         if window is not None:
-            live = jnp.logical_and(
-                live,
+            in_band = (
                 q_idx * block_q + q_offset
-                <= kv_idx * block_k + (block_k - 1) + (window - 1),
+                <= kv_idx * block_k + (block_k - 1) + (window - 1)
             )
+            if sinks:
+                in_band = jnp.logical_or(in_band, kv_idx * block_k < sinks)
+            live = jnp.logical_and(live, in_band)
             crosses = jnp.logical_or(
                 crosses,
                 q_idx * block_q + q_offset + (block_q - 1)
@@ -898,7 +924,10 @@ def _bwd_dkdv_kernel(
             )
             cm = col <= row
             if window is not None:
-                cm = jnp.logical_and(cm, col > row - window)
+                wm = col > row - window
+                if sinks:
+                    wm = jnp.logical_or(wm, col < sinks)
+                cm = jnp.logical_and(cm, wm)
             s = jnp.where(cm, s, NEG_INF)
         # p = exp2(s - lse), both in the log2 domain (wrapper folds log2e);
         # padded q rows carry lse = +1e30 -> p = 0
@@ -951,6 +980,7 @@ def _bwd_dq_kernel(
     block_q: int,
     block_k: int,
     window: int | None = None,
+    sinks: int = 0,
 ):
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
@@ -966,11 +996,13 @@ def _bwd_dq_kernel(
             kv_idx * block_k + (block_k - 1) > q_idx * block_q + q_offset
         )
         if window is not None:
-            live = jnp.logical_and(
-                live,
+            in_band = (
                 kv_idx * block_k + (block_k - 1)
-                >= q_idx * block_q + q_offset - (window - 1),
+                >= q_idx * block_q + q_offset - (window - 1)
             )
+            if sinks:
+                in_band = jnp.logical_or(in_band, kv_idx * block_k < sinks)
+            live = jnp.logical_and(live, in_band)
             crosses = jnp.logical_or(
                 crosses,
                 kv_idx * block_k
@@ -1004,7 +1036,10 @@ def _bwd_dq_kernel(
                 )
                 cm = col <= row
                 if window is not None:
-                    cm = jnp.logical_and(cm, col > row - window)
+                    wm = col > row - window
+                    if sinks:
+                        wm = jnp.logical_or(wm, col < sinks)
+                    cm = jnp.logical_and(cm, wm)
                 mask = cm if mask is None else jnp.logical_and(mask, cm)
             s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp2((s - lse).astype(v.dtype))
@@ -1040,7 +1075,7 @@ def _bwd_dq_kernel(
 
 def _bwd_pallas(
     res, g, causal, sm_scale, q_offset, block_q, block_k, interpret,
-    window=None,
+    window=None, sinks=0,
 ):
     """FlashAttention-2 backward as two Pallas kernels. Returns (dq, dk, dv).
 
@@ -1105,6 +1140,7 @@ def _bwd_pallas(
         block_q=block_q,
         block_k=block_k,
         window=window,
+        sinks=sinks,
     )
     dk, dv = pl.pallas_call(
         dkdv_kernel,
@@ -1150,6 +1186,7 @@ def _bwd_pallas(
         block_q=block_q,
         block_k=block_k,
         window=window,
+        sinks=sinks,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -1241,33 +1278,33 @@ def _bwd_reference(res, g, causal, sm_scale, q_offset, block_k):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
 )
 def _flash_attention(
     q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub,
-    stable, window,
+    stable, window, sinks,
 ):
     out, _ = _fwd(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
-        num_sub, stable=stable, window=window,
+        num_sub, stable=stable, window=window, sinks=sinks,
     )
     return out
 
 
 def _flash_attention_fwd(
     q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub,
-    stable, window,
+    stable, window, sinks,
 ):
     out, lse = _fwd(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
-        num_sub, stable=stable, window=window,
+        num_sub, stable=stable, window=window, sinks=sinks,
     )
     return out, (q, k, v, out, lse)
 
 
 def _flash_attention_bwd(
     causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub, stable,
-    window, res, g,
+    window, sinks, res, g,
 ):
     # the backward recompute is always max-stable (it subtracts the saved
     # lse, which bounds the exponent), so `stable` only shapes the forward
@@ -1275,7 +1312,7 @@ def _flash_attention_bwd(
         sm_scale = 1.0 / (res[0].shape[-1] ** 0.5)
     return _bwd_pallas(
         res, g, causal, sm_scale, q_offset, block_q, block_k, interpret,
-        window=window,
+        window=window, sinks=sinks,
     )
 
 
@@ -1302,6 +1339,7 @@ def flash_attention(
     num_sub: int = DEFAULT_NUM_SUB,
     stable: bool = True,
     window: int | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """Fused multi-head / grouped-query FlashAttention forward.
 
@@ -1315,6 +1353,10 @@ def flash_attention(
         `window` most recent keys, j in (i + q_offset - window, i + q_offset].
         KV blocks wholly outside the band are skipped at the grid level, so
         cost is O(N * window); forward AND backward honor the band.
+      sinks: with `window`, additionally keep the first `sinks` keys visible
+        to every query (StreamingLLM attention sinks) — the long-context
+        serving recipe that preserves quality when the window slides past
+        the prompt head.
       sm_scale: score scale, default 1/sqrt(head_dim).
       num_sub: KV sub-tiles per block; >1 interleaves the MXU QK/PV dots
         with the VPU softmax chain (measured ~MXU/VPU overlap lever).
@@ -1331,20 +1373,20 @@ def flash_attention(
     """
     return _flash_attention(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
-        num_sub, stable, window,
+        num_sub, stable, window, sinks,
     )
 
 
 def flash_attention_with_lse(
     q, k, v, *, causal=False, sm_scale=None, q_offset=0,
     block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K, interpret=None,
-    num_sub=DEFAULT_NUM_SUB, stable=True, window=None,
+    num_sub=DEFAULT_NUM_SUB, stable=True, window=None, sinks=0,
 ):
     """Forward that also returns logsumexp [b, hq, n] — the (m, l) carry the
     ring/context-parallel layer merges across devices (non-differentiable)."""
     return _fwd(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
-        num_sub, stable=stable, window=window,
+        num_sub, stable=stable, window=window, sinks=sinks,
     )
 
 

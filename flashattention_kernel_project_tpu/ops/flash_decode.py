@@ -47,6 +47,7 @@ def _decode_kernel(
     block_s: int,
     sm_scale: float,
     window: int | None = None,
+    sinks: int = 0,
 ):
     split = pl.program_id(2)
     length = len_ref[pl.program_id(0)]
@@ -59,8 +60,11 @@ def _decode_kernel(
     live = split * block_s < length
     if window is not None:
         # sliding window: the decode query attends keys
-        # [max(0, length - window), length)
-        live = jnp.logical_and(live, (split + 1) * block_s > length - window)
+        # [max(0, length - window), length), plus the first `sinks` keys
+        in_band = (split + 1) * block_s > length - window
+        if sinks:
+            in_band = jnp.logical_or(in_band, split * block_s < sinks)
+        live = jnp.logical_and(live, in_band)
 
     @pl.when(live)
     def _compute():
@@ -77,7 +81,10 @@ def _decode_kernel(
         col = split * block_s + jax.lax.broadcasted_iota(jnp.int32, (gp, block_s), 1)
         mask = col < length
         if window is not None:
-            mask = jnp.logical_and(mask, col >= length - window)
+            wm = col >= length - window
+            if sinks:
+                wm = jnp.logical_or(wm, col < sinks)
+            mask = jnp.logical_and(mask, wm)
         s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)  # [GP, 1]
         e = jnp.where(mask, jnp.exp(s - m), 0.0)
@@ -106,6 +113,7 @@ def _decode_kernel_int8(
     block_s: int,
     sm_scale: float,
     window: int | None = None,
+    sinks: int = 0,
 ):
     split = pl.program_id(2)
     length = len_ref[pl.program_id(0)]
@@ -117,7 +125,10 @@ def _decode_kernel_int8(
 
     live = split * block_s < length
     if window is not None:
-        live = jnp.logical_and(live, (split + 1) * block_s > length - window)
+        in_band = (split + 1) * block_s > length - window
+        if sinks:
+            in_band = jnp.logical_or(in_band, split * block_s < sinks)
+        live = jnp.logical_and(live, in_band)
 
     @pl.when(live)
     def _compute():
@@ -137,7 +148,10 @@ def _decode_kernel_int8(
         col = split * block_s + jax.lax.broadcasted_iota(jnp.int32, (gp, block_s), 1)
         mask = col < length
         if window is not None:
-            mask = jnp.logical_and(mask, col >= length - window)
+            wm = col >= length - window
+            if sinks:
+                wm = jnp.logical_or(wm, col < sinks)
+            mask = jnp.logical_and(mask, wm)
         s = jnp.where(mask, s, NEG_INF)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.where(mask, jnp.exp(s - m), 0.0)
@@ -154,18 +168,23 @@ def _decode_kernel_int8(
         y_ref[0, 0, 0] = y
 
 
-def _clamp_to_live(ln, bb, s, block_s, window=None):
+def _clamp_to_live(ln, bb, s, block_s, window=None, sinks=0):
     """Split index clamped to the live block range of sequence bb: dead
     splits re-map to a live one so consecutive grid steps fetch the same
     block and the pipeline elides their DMAs (see flash_decode). With a
     sliding window, splits wholly below the window start are dead too and
     clamp UP to the first live split."""
     last = jnp.maximum(jax.lax.div(ln[bb] + block_s - 1, block_s) - 1, 0)
-    s = jnp.minimum(s, last)
+    s_eff = jnp.minimum(s, last)
     if window is not None:
         first = jnp.maximum(ln[bb] - window, 0) // block_s
-        s = jnp.maximum(s, first)
-    return s
+        s_eff = jnp.maximum(s_eff, first)
+        if sinks:
+            # attention-sink splits below the window band are LIVE and must
+            # keep their own index (the gap between sinks and the band is
+            # dead either way and clamps up to the band)
+            s_eff = jnp.where(s * block_s < sinks, jnp.minimum(s, last), s_eff)
+    return s_eff
 
 
 def merge_partials(m, l, y):
@@ -185,6 +204,7 @@ def merge_partials(m, l, y):
     jax.jit,
     static_argnames=(
         "n_splits", "sm_scale", "interpret", "return_partials", "window",
+        "sinks",
     ),
 )
 def flash_decode(
@@ -198,6 +218,7 @@ def flash_decode(
     interpret: bool | None = None,
     return_partials: bool = False,
     window: int | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """Single-token GQA decode against a (padded) KV cache.
 
@@ -253,7 +274,8 @@ def flash_decode(
         v_cache = jnp.pad(v_cache, ((0, 0), (0, 0), (0, pad_s), (0, 0)))
 
     kernel = functools.partial(
-        _decode_kernel, block_s=block_s, sm_scale=sm_scale, window=window
+        _decode_kernel, block_s=block_s, sm_scale=sm_scale, window=window,
+        sinks=sinks,
     )
 
     # Dead splits (entirely past `length`) clamp their K/V block index to the
@@ -262,7 +284,7 @@ def flash_decode(
     # blocks of HBM traffic, not S_max/block (a 512-token sequence in a
     # 3072-token cache measured 52.7 vs 75.4 us; docs/perf_journal.md).
     def _kv_map(bb, h, s, ln):
-        return (bb, h, _clamp_to_live(ln, bb, s, block_s, window), 0)
+        return (bb, h, _clamp_to_live(ln, bb, s, block_s, window, sinks), 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -310,7 +332,8 @@ def flash_decode(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_splits", "sm_scale", "interpret", "window")
+    jax.jit,
+    static_argnames=("n_splits", "sm_scale", "interpret", "window", "sinks"),
 )
 def flash_decode_int8(
     q: jax.Array,
@@ -324,6 +347,7 @@ def flash_decode_int8(
     sm_scale: float | None = None,
     interpret: bool | None = None,
     window: int | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """flash_decode against a quantized KV cache (per-token scales, dequant
     fused into the kernel's K/V load stage — the slot where the reference
@@ -368,15 +392,16 @@ def flash_decode_int8(
         v_scale = jnp.pad(v_scale, pads_sc)
 
     kernel = functools.partial(
-        _decode_kernel_int8, block_s=block_s, sm_scale=sm_scale, window=window
+        _decode_kernel_int8, block_s=block_s, sm_scale=sm_scale, window=window,
+        sinks=sinks,
     )
 
     # same dead-split DMA elision as the bf16 kernel (see flash_decode)
     def _kv_map(bb, h, s, ln):
-        return (bb, h, _clamp_to_live(ln, bb, s, block_s, window), 0)
+        return (bb, h, _clamp_to_live(ln, bb, s, block_s, window, sinks), 0)
 
     def _scale_map(bb, h, s, ln):
-        return (bb, h, 0, _clamp_to_live(ln, bb, s, block_s, window))
+        return (bb, h, 0, _clamp_to_live(ln, bb, s, block_s, window, sinks))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -45,12 +45,14 @@ def attention(
     causal: bool = False,
     q_offset: int = 0,
     window: int | None = None,
+    sinks: int = 0,
 ) -> np.ndarray:
     """Naive attention oracle, [..., N, D] x [..., S, D] -> [..., N, Dv].
 
     `q_offset` positions the query block within the KV sequence for causal
     decode (query i attends to kv j iff j <= i + q_offset). `window` (with
-    causal) limits each query to its `window` most recent keys incl. self.
+    causal) limits each query to its `window` most recent keys incl. self;
+    `sinks` keeps the first `sinks` keys visible regardless (StreamingLLM).
     """
     q64 = q.astype(np.float64)
     k64 = k.astype(np.float64)
@@ -66,7 +68,10 @@ def attention(
         row = np.arange(n)[:, None] + q_offset
         mask = np.arange(s)[None, :] > row
         if window is not None:
-            mask |= np.arange(s)[None, :] <= row - window
+            out_of_band = np.arange(s)[None, :] <= row - window
+            if sinks:
+                out_of_band &= np.arange(s)[None, :] >= sinks
+            mask |= out_of_band
         scores = np.where(mask, -np.inf, scores)
     m = np.max(scores, axis=-1, keepdims=True)
     m = np.where(np.isfinite(m), m, 0.0)  # fully-masked rows
@@ -84,6 +89,7 @@ def gqa_attention(
     causal: bool = False,
     q_offset: int = 0,
     window: int | None = None,
+    sinks: int = 0,
 ) -> np.ndarray:
     """Grouped-query attention oracle. q: [B, Hq, N, D], k/v: [B, Hkv, S, D]."""
     hq, hkv = q.shape[1], k.shape[1]
@@ -92,7 +98,8 @@ def gqa_attention(
     k = np.repeat(k, group, axis=1)
     v = np.repeat(v, group, axis=1)
     return attention(
-        q, k, v, scale=scale, causal=causal, q_offset=q_offset, window=window
+        q, k, v, scale=scale, causal=causal, q_offset=q_offset, window=window,
+        sinks=sinks,
     )
 
 

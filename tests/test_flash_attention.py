@@ -494,3 +494,48 @@ def test_flash_kv_quant_window(rng):
     kd, vd = _dequant_kv(k_q, k_s, v_q, v_s)
     exp = oracles.gqa_attention(q, kd, vd, causal=True, window=40)
     assert_rel_l2(got, exp, tol=1e-2)
+
+
+@pytest.mark.parametrize("stable", [True, False])
+def test_flash_forward_window_sinks(rng, stable):
+    """StreamingLLM attention sinks: first `sinks` keys stay visible below
+    the sliding window; blocks between sink and band stay skipped."""
+    q, k, v = _rand_qkv(rng, 1, 4, 2, 256, 256, 32)
+    got = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=True, block_q=32, block_k=32, window=48, sinks=16,
+        stable=stable,
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=True, window=48, sinks=16)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+
+def test_flash_window_sinks_gradients(rng):
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 128, 32)
+    qj, kj, vj = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    window, sinks = 40, 8
+
+    def naive(q, k, v):
+        s = jnp.einsum("bhnd,bhsd->bhns", q, k) / np.sqrt(q.shape[-1])
+        row = jnp.arange(128)[:, None]
+        col = jnp.arange(128)[None, :]
+        dead = jnp.logical_and(col <= row - window, col >= sinks)
+        mask = jnp.logical_or(col > row, dead)
+        s = jnp.where(mask, -1e30, s)
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhns,bhsd->bhnd", p, v)
+
+    def loss_f(q, k, v):
+        o = ops.flash_attention(
+            q, k, v, causal=True, block_q=32, block_k=32,
+            window=window, sinks=sinks,
+        )
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_n(q, k, v):
+        return jnp.sum(naive(q, k, v) * jnp.cos(naive(q, k, v)))
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2))(qj, kj, vj)
+    gn = jax.grad(loss_n, argnums=(0, 1, 2))(qj, kj, vj)
+    for a, b in zip(gf, gn):
+        assert_rel_l2(np.asarray(a), np.asarray(b), tol=1e-3)

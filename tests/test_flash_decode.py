@@ -155,3 +155,27 @@ def test_flash_decode_int8_window(rng):
             vd[i : i + 1, :, lo : lengths[i]], causal=False,
         )[:, :, 0]
         assert_rel_l2(got[i : i + 1], exp, tol=1e-2)
+
+
+def test_flash_decode_window_sinks(rng):
+    """Sink keys + window band in decode; the gap between them is skipped
+    but sink splits keep their own DMA."""
+    b, hq, hkv, s, d = 2, 8, 2, 512, 32
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    lengths = np.array([512, 300], np.int32)
+    window, sinks = 128, 64
+    got = np.asarray(ops.flash_decode(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(lengths), n_splits=4, window=window, sinks=sinks,
+    ))
+    for i in range(b):
+        ln = int(lengths[i])
+        lo = max(0, ln - window)
+        keep = sorted(set(range(min(sinks, ln))) | set(range(lo, ln)))
+        exp = oracles.gqa_attention(
+            q[i : i + 1, :, None], k[i : i + 1, :, keep],
+            v[i : i + 1, :, keep], causal=False,
+        )[:, :, 0]
+        assert_rel_l2(got[i : i + 1], exp, tol=1e-2)

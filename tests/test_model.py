@@ -232,3 +232,17 @@ def test_sliding_window_decode_matches_teacher_forcing():
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         ref = jnp.concatenate([ref, nxt[:, None]], axis=1)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_window_sinks_decode_matches_teacher_forcing():
+    """attn_window + attn_sinks end to end: generate == teacher forcing."""
+    cfg = dataclasses.replace(CFG, attn_window=10, attn_sinks=4)
+    params = models.init_params(cfg, jax.random.PRNGKey(15))
+    prompt = jax.random.randint(jax.random.PRNGKey(16), (2, 20), 0, cfg.vocab_size)
+    out = models.generate(cfg, params, prompt, max_new_tokens=5)
+    ref = prompt
+    for _ in range(5):
+        logits = models.forward(cfg, params, ref)
+        nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+        ref = jnp.concatenate([ref, nxt[:, None]], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
