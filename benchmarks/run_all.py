@@ -139,6 +139,15 @@ def build_benches(quick: bool, long: bool = False):
         reg(f"flashattn_fwd_causal_d128_seq{seq_k}k_fast",
             functools.partial(ops.flash_attention, causal=True, stable=False),
             (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5))
+        if seq_k == 32:
+            # sliding-window at 32K/window-4K: the O(N*W) grid skip in
+            # action — useful FLOPs count only in-window pairs
+            W = 4096
+            pairs = Nl * W - (W * (W - 1)) // 2
+            reg("flashattn_fwd_causal_d128_seq32k_win4k_fast",
+                functools.partial(ops.flash_attention, causal=True,
+                                  stable=False, window=W),
+                (ql, kl, vl), flops=4 * B * H * pairs * D)
     D64 = 64
     q64 = jnp.asarray(rng.standard_normal((B, H, N, D64)), jnp.bfloat16)
     k64 = jnp.asarray(rng.standard_normal((B, HKV, N, D64)), jnp.bfloat16)
