@@ -47,22 +47,28 @@ def main():
     )
     params = models.init_params(cfg, jax.random.PRNGKey(0))
 
-    # --- train on a toy corpus (predict the next byte of a repeating motif)
+    # --- train on a toy corpus (predict the next byte of a repeating motif),
+    # streamed through the native data loader (runtime/dataloader.cpp:
+    # mmap + prefetch threads; numpy fallback if g++ is absent)
+    from flashattention_kernel_project_tpu.runtime import (
+        TokenLoader,
+        write_token_file,
+    )
+
     rng = np.random.default_rng(0)
     motif = rng.integers(0, cfg.vocab_size, 64)
-    corpus = np.tile(motif, 64)
-
-    def batch(step, b=8, t=128):
-        starts = rng.integers(0, corpus.size - t - 1, b)
-        return jnp.asarray(
-            np.stack([corpus[s : s + t] for s in starts]), jnp.int32
-        )
+    corpus = np.tile(motif, 64).astype(np.uint32)
+    tok_path = os.path.join(tempfile.mkdtemp(prefix="fkp_data_"), "toks.bin")
+    write_token_file(tok_path, corpus)
 
     loss = float("nan")
-    for step in range(args.steps):
-        params, loss = models.sgd_train_step(cfg, params, batch(step), lr=args.lr)
-        if step % 5 == 0 or step == args.steps - 1:
-            print(f"step {step:3d}  loss {float(loss):.4f}")
+    with TokenLoader(tok_path, batch=8, seq_len=128, seed=0) as loader:
+        print(f"data loader backend: {'native C++' if loader.native else 'numpy'}")
+        for step in range(args.steps):
+            tokens = jnp.asarray(loader.next_batch()[:, :-1], jnp.int32)
+            params, loss = models.sgd_train_step(cfg, params, tokens, lr=args.lr)
+            if step % 5 == 0 or step == args.steps - 1:
+                print(f"step {step:3d}  loss {float(loss):.4f}")
 
     # --- checkpoint + resume
     ckpt_dir = tempfile.mkdtemp(prefix="fkp_ckpt_")
