@@ -210,7 +210,9 @@ def prefill(
     return logits, new_cache
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("interpret", "all_logits")
+)
 def extend(
     cfg: tfm.TransformerConfig,
     params: dict,
@@ -218,10 +220,13 @@ def extend(
     cache: KVCache,
     *,
     interpret: bool | None = None,
+    all_logits: bool = False,
 ) -> tuple[jax.Array, KVCache]:
     """Chunked prefill: append T tokens per slot to a LIVE cache and attend
     to the full prefix (per-slot lengths + offsets via the ragged kernel).
-    tokens [B, T]. Returns (last-position logits, cache).
+    tokens [B, T]. Returns (last-position logits [B, V] — or every
+    position's [B, T, V] with all_logits=True, the speculative-decoding
+    verify path — and the cache).
 
     Int8 caches attend via the fused-dequant ragged kernel — the 8-bit
     prefix stream never materializes in full precision in HBM.
@@ -276,7 +281,8 @@ def extend(
         x = tfm._mlp_block(layer, x)
 
     x = tfm.rms_norm(x, params["rms_final"])
-    logits = (x[:, -1] @ params["embed"].T).astype(jnp.float32)
+    xe = x if all_logits else x[:, -1]
+    logits = (xe @ params["embed"].T).astype(jnp.float32)
     return logits, KVCache(k_all, v_all, ks_all, vs_all, new_lengths)
 
 
@@ -770,4 +776,111 @@ def decode_step_paged(
     return logits, PagedKVCache(
         tuple(k_pages), tuple(v_pages), cache.block_tables, new_lengths,
         tuple(ksp) if quant else None, tuple(vsp) if quant else None,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Speculative decoding (greedy): draft model proposes, target verifies one
+# chunked-extend per round. Output is IDENTICAL to target-only greedy
+# decoding (greedy acceptance keeps exactly the tokens the target would
+# have produced); the win is wall-clock — one target extend of k+1 tokens
+# replaces up to k+1 sequential target decode steps, and prefill-shaped
+# extends run at MXU throughput while decode is HBM-bound.
+# ---------------------------------------------------------------------------
+
+def speculative_generate(
+    cfg: tfm.TransformerConfig,
+    params: dict,
+    prompt: jax.Array,
+    *,
+    draft_cfg: tfm.TransformerConfig,
+    draft_params: dict,
+    spec_k: int = 4,
+    max_new_tokens: int = 32,
+    max_len: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Greedy speculative decoding. prompt [B, T] -> [B, T + max_new_tokens].
+
+    Per round: the draft decodes `spec_k` tokens from its own cache; the
+    target verifies them with ONE ragged chunked extend over
+    [c, d_1..d_k] (c = the previous round's target-chosen token), accepts
+    the longest matching prefix per slot, and emits its own next token at
+    the first mismatch (or a bonus token when everything matched) — so
+    each round commits 1..spec_k+1 target-grade tokens per slot. Cache
+    rollback is just the per-slot `lengths` vector: KV written past a
+    slot's accepted prefix is dead and gets overwritten by later rounds
+    (per-slot raggedness rides the engine's existing ragged kernels).
+    Requires draft_cfg.vocab_size == cfg.vocab_size.
+    """
+    import numpy as np
+
+    assert draft_cfg.vocab_size == cfg.vocab_size
+    b, t = prompt.shape
+    max_len = max_len or (t + max_new_tokens + spec_k + 2)
+    tcache = init_cache(cfg, b, max_len)
+    dcache = init_cache(draft_cfg, b, max_len)
+    tl, tcache = prefill(cfg, params, prompt, tcache, interpret=interpret)
+    _, dcache = prefill(
+        draft_cfg, draft_params, prompt, dcache, interpret=interpret
+    )
+
+    out = np.full((b, max_new_tokens + spec_k + 2), 0, np.int32)
+    counts = np.zeros(b, np.int64)
+    c = jnp.argmax(tl, axis=-1).astype(jnp.int32)  # first target token [B]
+    for i in range(b):
+        out[i, 0] = int(np.asarray(c)[i])
+    counts += 1
+
+    while counts.min() < max_new_tokens:
+        # draft: feed c, then propose spec_k greedy tokens
+        dl, dcache = decode_step(
+            draft_cfg, draft_params, c, dcache, interpret=interpret
+        )
+        drafts = []
+        for j in range(spec_k):
+            d_j = jnp.argmax(dl, axis=-1).astype(jnp.int32)
+            drafts.append(d_j)
+            # feed EVERY draft token (incl. the last): the resync below may
+            # mark all k as valid when the target accepts the whole chunk,
+            # so d_k's KV must be present in the draft cache
+            dl, dcache = decode_step(
+                draft_cfg, draft_params, d_j, dcache, interpret=interpret
+            )
+        d = jnp.stack(drafts, axis=1)  # [B, k]
+
+        # target: one chunked extend over [c, d_1..d_k]
+        chunk = jnp.concatenate([c[:, None], d], axis=1)  # [B, k+1]
+        all_l, tcache = extend(
+            cfg, params, chunk, tcache, interpret=interpret, all_logits=True
+        )
+        preds = jnp.argmax(all_l, axis=-1).astype(jnp.int32)  # [B, k+1]
+        # preds[:, j] = target's token after chunk[:, :j+1]; it verifies
+        # d[:, j] for j < k, and preds[:, a] is the correction/bonus token
+        match = np.asarray(preds[:, :-1] == d)  # [B, k]
+        a = np.where(
+            match.all(axis=1), spec_k, np.argmin(match, axis=1)
+        )  # accepted drafts per slot
+        preds_np = np.asarray(preds)
+        d_np = np.asarray(d)
+
+        # commit d[:a] + correction per slot; roll caches back to the
+        # accepted prefix (+1 for c, which extend just wrote)
+        new_t_len = np.asarray(tcache.lengths) - (spec_k + 1) + 1 + a
+        c_next = np.empty(b, np.int32)
+        for i in range(b):
+            ai = int(a[i])
+            take = list(d_np[i, :ai]) + [int(preds_np[i, ai])]
+            n0 = int(counts[i])
+            out[i, n0 : n0 + len(take)] = take
+            counts[i] += len(take)
+            c_next[i] = take[-1]
+        tcache = tcache._replace(lengths=jnp.asarray(new_t_len, jnp.int32))
+        # draft holds [.., c, d_1..d_{k-1}]; resync to the target's view
+        dcache = dcache._replace(lengths=jnp.asarray(new_t_len, jnp.int32))
+        c = jnp.asarray(c_next)
+
+    return jnp.concatenate(
+        [prompt.astype(jnp.int32),
+         jnp.asarray(out[:, :max_new_tokens], jnp.int32)], axis=1
     )

@@ -246,3 +246,25 @@ def test_window_sinks_decode_matches_teacher_forcing():
         nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
         ref = jnp.concatenate([ref, nxt[:, None]], axis=1)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("same_draft", [True, False])
+def test_speculative_generate_matches_greedy(params, same_draft):
+    """Greedy speculative decoding must produce EXACTLY the target model's
+    greedy continuation — with a perfect draft (same model, high
+    acceptance) and with an unrelated random draft (low acceptance)."""
+    prompt = jax.random.randint(jax.random.PRNGKey(17), (2, 8), 0, CFG.vocab_size)
+    n_new = 10
+    if same_draft:
+        draft_cfg, draft_params = CFG, params
+    else:
+        draft_cfg = dataclasses.replace(CFG, n_layers=1, d_ff=64)
+        draft_params = models.init_params(draft_cfg, jax.random.PRNGKey(99))
+
+    out = models.speculative_generate(
+        CFG, params, prompt,
+        draft_cfg=draft_cfg, draft_params=draft_params,
+        spec_k=3, max_new_tokens=n_new,
+    )
+    ref = models.generate(CFG, params, prompt, max_new_tokens=n_new)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
