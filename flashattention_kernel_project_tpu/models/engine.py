@@ -69,6 +69,7 @@ def init_cache(
     shape = (batch, cfg.n_kv_heads, max_len, cfg.d_head)
     L = cfg.n_layers
     if quantized:
+        assert quant_fmt in ("int8", "fp8"), quant_fmt
         qdt = jnp.int8 if quant_fmt == "int8" else jnp.float8_e4m3fn
         return KVCache(
             k=tuple(jnp.zeros(shape, qdt) for _ in range(L)),
@@ -578,6 +579,7 @@ def init_paged_cache(
     tables = jnp.zeros((batch, max_pages_per_seq), jnp.int32)
     lengths = jnp.zeros((batch,), jnp.int32)
     if quantized:
+        assert quant_fmt in ("int8", "fp8"), quant_fmt
         qdt = jnp.int8 if quant_fmt == "int8" else jnp.float8_e4m3fn
         s_shape = (n_pages, cfg.n_kv_heads, 1, page_size)
         return PagedKVCache(
@@ -780,13 +782,48 @@ def decode_step_paged(
 
 
 # ---------------------------------------------------------------------------
-# Speculative decoding (greedy): draft model proposes, target verifies one
-# chunked-extend per round. Output is IDENTICAL to target-only greedy
-# decoding (greedy acceptance keeps exactly the tokens the target would
-# have produced); the win is wall-clock — one target extend of k+1 tokens
-# replaces up to k+1 sequential target decode steps, and prefill-shaped
-# extends run at MXU throughput while decode is HBM-bound.
+# Speculative decoding: draft model proposes, target verifies one
+# chunked-extend per round. temperature == 0 is greedy — output IDENTICAL
+# to target-only greedy decoding; temperature > 0 uses rejection sampling
+# (accept d_j with prob min(1, p/q), resample the residual on reject),
+# which preserves the target model's sampling distribution EXACTLY. Either
+# way the win is wall-clock — one target extend of k+1 tokens replaces up
+# to k+1 sequential target decode steps, and prefill-shaped extends run at
+# MXU throughput while decode is HBM-bound.
 # ---------------------------------------------------------------------------
+
+def speculative_accept(p, q, d, rng) -> list[int]:
+    """Rejection-sampling acceptance for one slot (pure numpy, testable).
+
+    p: [k+1, V] target probs (p[j] = target dist after the j+1-token chunk
+    prefix), q: [k, V] draft probs, d: [k] draft tokens sampled from q,
+    rng: np.random.Generator. Returns the committed tokens (1..k+1 of
+    them): the accepted draft prefix plus one correction token sampled
+    from the residual norm(max(p−q, 0)) at the first rejection, or a
+    bonus token from p[k] when every draft is accepted. The committed
+    sequence is distributed exactly as target-only sampling (Leviathan et
+    al. 2023 / Chen et al. 2023 — no reference analog; the greedy path's
+    verify-by-argmax is the temperature→0 limit of this rule).
+    """
+    import numpy as np
+
+    k = len(d)
+    out: list[int] = []
+    for j in range(k):
+        tok = int(d[j])
+        p_j = p[j]
+        q_tok = max(float(q[j, tok]), 1e-20)
+        if rng.random() < float(p_j[tok]) / q_tok:
+            out.append(tok)
+            continue
+        res = np.maximum(p_j - q[j], 0.0)
+        s = float(res.sum())
+        dist = res / s if s > 0.0 else p_j / float(p_j.sum())
+        out.append(int(rng.choice(len(dist), p=dist / dist.sum())))
+        return out
+    pk = p[k] / float(p[k].sum())
+    out.append(int(rng.choice(len(pk), p=pk)))
+    return out
 
 def speculative_generate(
     cfg: tfm.TransformerConfig,
@@ -798,9 +835,11 @@ def speculative_generate(
     spec_k: int = 4,
     max_new_tokens: int = 32,
     max_len: int | None = None,
+    temperature: float = 0.0,
+    key: jax.Array | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Greedy speculative decoding. prompt [B, T] -> [B, T + max_new_tokens].
+    """Speculative decoding. prompt [B, T] -> [B, T + max_new_tokens].
 
     Per round: the draft decodes `spec_k` tokens from its own cache; the
     target verifies them with ONE ragged chunked extend over
@@ -812,10 +851,22 @@ def speculative_generate(
     slot's accepted prefix is dead and gets overwritten by later rounds
     (per-slot raggedness rides the engine's existing ragged kernels).
     Requires draft_cfg.vocab_size == cfg.vocab_size.
+
+    temperature > 0 (with a PRNG `key`) switches both models to sampling
+    and the verify rule to rejection sampling (`speculative_accept`) —
+    the committed stream is then distributed exactly as target-only
+    temperature sampling.
     """
     import numpy as np
 
     assert draft_cfg.vocab_size == cfg.vocab_size
+    sampling = temperature > 0.0 and key is not None
+    if sampling:
+        host_rng = np.random.default_rng(
+            int(jax.random.randint(
+                jax.random.fold_in(key, 0xACCE), (), 0, 2**31 - 1
+            ))
+        )
     b, t = prompt.shape
     max_len = max_len or (t + max_new_tokens + spec_k + 2)
     tcache = init_cache(cfg, b, max_len)
@@ -827,19 +878,30 @@ def speculative_generate(
 
     out = np.full((b, max_new_tokens + spec_k + 2), 0, np.int32)
     counts = np.zeros(b, np.int64)
-    c = jnp.argmax(tl, axis=-1).astype(jnp.int32)  # first target token [B]
+    if sampling:
+        c = _sample(tl, temperature, key, 0)  # first target token [B]
+    else:
+        c = jnp.argmax(tl, axis=-1).astype(jnp.int32)
     for i in range(b):
         out[i, 0] = int(np.asarray(c)[i])
     counts += 1
 
+    rnd = 0
     while counts.min() < max_new_tokens:
-        # draft: feed c, then propose spec_k greedy tokens
+        rnd += 1
+        # draft: feed c, then propose spec_k tokens
         dl, dcache = decode_step(
             draft_cfg, draft_params, c, dcache, interpret=interpret
         )
-        drafts = []
+        drafts, q_dists = [], []
         for j in range(spec_k):
-            d_j = jnp.argmax(dl, axis=-1).astype(jnp.int32)
+            if sampling:
+                q_dists.append(jax.nn.softmax(dl / temperature, axis=-1))
+                d_j = _sample(
+                    dl, temperature, jax.random.fold_in(key, rnd), j
+                )
+            else:
+                d_j = jnp.argmax(dl, axis=-1).astype(jnp.int32)
             drafts.append(d_j)
             # feed EVERY draft token (incl. the last): the resync below may
             # mark all k as valid when the target accepts the whole chunk,
@@ -854,27 +916,49 @@ def speculative_generate(
         all_l, tcache = extend(
             cfg, params, chunk, tcache, interpret=interpret, all_logits=True
         )
-        preds = jnp.argmax(all_l, axis=-1).astype(jnp.int32)  # [B, k+1]
-        # preds[:, j] = target's token after chunk[:, :j+1]; it verifies
-        # d[:, j] for j < k, and preds[:, a] is the correction/bonus token
-        match = np.asarray(preds[:, :-1] == d)  # [B, k]
-        a = np.where(
-            match.all(axis=1), spec_k, np.argmin(match, axis=1)
-        )  # accepted drafts per slot
-        preds_np = np.asarray(preds)
         d_np = np.asarray(d)
+        if sampling:
+            # p[:, j] = target dist after chunk[:, :j+1]; rejection-sample
+            p = np.asarray(
+                jax.nn.softmax(all_l / temperature, axis=-1), np.float64
+            )
+            q = np.asarray(jnp.stack(q_dists, axis=1), np.float64)
+            takes = [
+                speculative_accept(p[i], q[i], d_np[i], host_rng)
+                for i in range(b)
+            ]
+            a = np.array([len(tk) - 1 for tk in takes], np.int64)
+        else:
+            preds = jnp.argmax(all_l, axis=-1).astype(jnp.int32)  # [B, k+1]
+            # preds[:, j] = target's token after chunk[:, :j+1]; it verifies
+            # d[:, j] for j < k, and preds[:, a] is the correction/bonus
+            match = np.asarray(preds[:, :-1] == d)  # [B, k]
+            a = np.where(
+                match.all(axis=1), spec_k, np.argmin(match, axis=1)
+            )  # accepted drafts per slot
+            preds_np = np.asarray(preds)
+            takes = [
+                list(d_np[i, : int(a[i])]) + [int(preds_np[i, int(a[i])])]
+                for i in range(b)
+            ]
 
         # commit d[:a] + correction per slot; roll caches back to the
         # accepted prefix (+1 for c, which extend just wrote)
         new_t_len = np.asarray(tcache.lengths) - (spec_k + 1) + 1 + a
         c_next = np.empty(b, np.int32)
         for i in range(b):
-            ai = int(a[i])
-            take = list(d_np[i, :ai]) + [int(preds_np[i, ai])]
+            take = [int(x) for x in takes[i]]
             n0 = int(counts[i])
+            # a finished slot (output already full) keeps looping only for
+            # the laggards: clamp its writes to the buffer
+            take = take[: max(out.shape[1] - n0, 0)]
             out[i, n0 : n0 + len(take)] = take
             counts[i] += len(take)
-            c_next[i] = take[-1]
+            c_next[i] = take[-1] if take else out[i, n0 - 1]
+        # cap finished slots' cache growth too — without this a slot that
+        # keeps accepting drafts would advance past max_len and the append's
+        # clamped dynamic-update would corrupt committed KV
+        new_t_len = np.minimum(new_t_len, t + max_new_tokens + 1)
         tcache = tcache._replace(lengths=jnp.asarray(new_t_len, jnp.int32))
         # draft holds [.., c, d_1..d_{k-1}]; resync to the target's view
         dcache = dcache._replace(lengths=jnp.asarray(new_t_len, jnp.int32))

@@ -1394,7 +1394,7 @@ def flash_attention_with_lse(
     jax.jit,
     static_argnames=(
         "causal", "sm_scale", "q_offset", "block_q", "block_k", "interpret",
-        "stable", "window",
+        "stable", "window", "sinks",
     ),
 )
 def flash_attention_kv_quant(
@@ -1412,6 +1412,7 @@ def flash_attention_kv_quant(
     interpret: bool | None = None,
     stable: bool = True,
     window: int | None = None,
+    sinks: int = 0,
 ) -> jax.Array:
     """Fused forward attention against an 8-bit quantized KV cache.
 
@@ -1428,7 +1429,7 @@ def flash_attention_kv_quant(
     out, _ = _fwd(
         q, k_q, v_q, causal, sm_scale, q_offset, block_q, block_k,
         interpret, stable=stable, k_scale=k_scale, v_scale=v_scale,
-        window=window,
+        window=window, sinks=sinks,
     )
     return out
 

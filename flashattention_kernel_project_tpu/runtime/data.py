@@ -73,7 +73,9 @@ class TokenLoader:
     """Iterator of [batch, seq_len+1] uint32 batches from a token file.
 
     shuffle=True draws random crops (training); False walks the file
-    sequentially with a one-token label overlap per row (eval). Use
+    sequentially with a one-token label overlap per row (eval) — sequential
+    mode forces a single prefetch worker, since multiple workers would race
+    on the cursor and deliver batches out of file order. Use
     `inputs, labels = batch[:, :-1], batch[:, 1:]`.
     """
 
@@ -96,6 +98,8 @@ class TokenLoader:
         if native is True and self._lib is None:
             raise RuntimeError("native dataloader unavailable (no g++?)")
         if self._lib is not None:
+            if not shuffle:
+                n_threads = 1  # keep file order deterministic
             self._handle = self._lib.dl_open(
                 path.encode(), batch, seq_len, seed, n_threads, int(shuffle)
             )
