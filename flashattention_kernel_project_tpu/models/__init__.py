@@ -21,6 +21,7 @@ from flashattention_kernel_project_tpu.models.engine import (  # noqa: F401
     decode_step_paged,
     paged_insert,
     generate,
+    speculative_accept,
     speculative_generate,
 )
 from flashattention_kernel_project_tpu.models.checkpoint import (  # noqa: F401

@@ -268,3 +268,51 @@ def test_speculative_generate_matches_greedy(params, same_draft):
     )
     ref = models.generate(CFG, params, prompt, max_new_tokens=n_new)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_speculative_accept_preserves_target_dist():
+    """The rejection-sampling rule must make the FIRST committed token's
+    marginal exactly the target dist p[0], whatever the draft dist is —
+    the distribution-preservation theorem, checked empirically."""
+    rng = np.random.default_rng(3)
+    V, k = 6, 2
+    p = rng.dirichlet(np.ones(V), size=k + 1)  # target dists per position
+    q = rng.dirichlet(np.ones(V) * 0.3, size=k)  # skewed draft dists
+    n = 20000
+    hist = np.zeros(V)
+    for _ in range(n):
+        d = [rng.choice(V, p=q[j]) for j in range(k)]
+        take = models.speculative_accept(p, q, np.array(d), rng)
+        hist[take[0]] += 1
+    tv = 0.5 * np.abs(hist / n - p[0]).sum()
+    assert tv < 0.03, (tv, hist / n, p[0])
+
+
+def test_speculative_accept_perfect_draft():
+    """q == p accepts every draft: always k+1 committed tokens."""
+    rng = np.random.default_rng(4)
+    V, k = 8, 3
+    p = rng.dirichlet(np.ones(V), size=k + 1)
+    for _ in range(200):
+        d = np.array([rng.choice(V, p=p[j]) for j in range(k)])
+        take = models.speculative_accept(p, p[:k], d, rng)
+        assert len(take) == k + 1
+        assert take[:k] == list(d)
+
+
+def test_speculative_generate_sampling(params):
+    """temperature>0 spec decode: deterministic given the key, valid
+    tokens, and a same-model draft still yields a sane stream."""
+    prompt = jax.random.randint(jax.random.PRNGKey(21), (2, 8), 0, CFG.vocab_size)
+    draft_cfg = dataclasses.replace(CFG, n_layers=1, d_ff=64)
+    draft_params = models.init_params(draft_cfg, jax.random.PRNGKey(98))
+    kw = dict(
+        draft_cfg=draft_cfg, draft_params=draft_params,
+        spec_k=3, max_new_tokens=12, temperature=0.8,
+        key=jax.random.PRNGKey(5),
+    )
+    out1 = models.speculative_generate(CFG, params, prompt, **kw)
+    out2 = models.speculative_generate(CFG, params, prompt, **kw)
+    assert out1.shape == (2, 8 + 12)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert (np.asarray(out1) >= 0).all() and (np.asarray(out1) < CFG.vocab_size).all()
