@@ -220,6 +220,7 @@ def extend(
     tokens: jax.Array,
     cache: KVCache,
     *,
+    n: jax.Array | None = None,
     interpret: bool | None = None,
     all_logits: bool = False,
 ) -> tuple[jax.Array, KVCache]:
@@ -228,6 +229,15 @@ def extend(
     tokens [B, T]. Returns (last-position logits [B, V] — or every
     position's [B, T, V] with all_logits=True, the speculative-decoding
     verify path — and the cache).
+
+    n [B] (optional) makes the chunk itself ragged: slot b appends only
+    its first n[b] tokens (1 <= n[b] <= T; pad the rest). Lengths advance
+    by n, the per-slot kv-length bound keeps the padded tail's KV
+    invisible (it is overwritten by later appends before the bound ever
+    reaches it), and the returned logits are gathered at each slot's true
+    last position n[b]-1 — so a bucketed/padded chunk still yields EXACT
+    logits. The caller must leave T-1 slack rows per slot (the padded
+    tail is still written): cache max_len >= lengths + T.
 
     Int8 caches attend via the fused-dequant ragged kernel — the 8-bit
     prefix stream never materializes in full precision in HBM.
@@ -243,7 +253,7 @@ def extend(
     sin, cos = tfm.rope_tables(cfg, positions)
 
     k_all, v_all, ks_all, vs_all = cache.k, cache.v, cache.k_scale, cache.v_scale
-    new_lengths = cache.lengths + t
+    new_lengths = cache.lengths + (t if n is None else n)
     for i in range(cfg.n_layers):
         layer = jax.tree.map(lambda p: p[i], params["layers"])
         h = tfm.rms_norm(x, layer["rms_attn"])
@@ -282,7 +292,12 @@ def extend(
         x = tfm._mlp_block(layer, x)
 
     x = tfm.rms_norm(x, params["rms_final"])
-    xe = x if all_logits else x[:, -1]
+    if all_logits:
+        xe = x
+    elif n is None:
+        xe = x[:, -1]
+    else:
+        xe = x[jnp.arange(b), jnp.maximum(n, 1) - 1]
     logits = (xe @ params["embed"].T).astype(jnp.float32)
     return logits, KVCache(k_all, v_all, ks_all, vs_all, new_lengths)
 

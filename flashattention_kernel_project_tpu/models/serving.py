@@ -47,6 +47,7 @@ class Scheduler:
         quantized_cache: bool = False,
         eos_token: int | None = None,
         n_splits: int | None = None,
+        prefill_chunk: int | None = None,
         interpret: bool | None = None,
     ):
         self.cfg = cfg
@@ -55,6 +56,7 @@ class Scheduler:
         self.max_len = max_len
         self.eos_token = eos_token
         self.n_splits = n_splits
+        self.prefill_chunk = prefill_chunk
         self.interpret = interpret
         self.cache = engine.init_cache(
             cfg, max_batch, max_len, quantized=quantized_cache
@@ -103,26 +105,38 @@ class Scheduler:
 
     def _insert(self, slot: int, req: Request, tb: int):
         """Prefill the prompt as a batch-1 sequence, splice its KV into the
-        batch cache at `slot`, record the first generated token."""
+        batch cache at `slot`, record the first generated token.
+
+        With `prefill_chunk` set, the prompt enters in fixed-size ragged
+        chunks (engine.extend with n=) and the running slots get a decode
+        step between chunks — Sarathi-style chunked prefill, bounding the
+        decode stall a long prompt inflicts on the batch to one chunk's
+        latency instead of a whole prefill. The ragged last-position
+        gather also makes the returned logits exact for bucket-padded
+        prompts, so no second full forward is needed on that path.
+        """
         t = len(req.prompt)
-        prompt = np.zeros((1, tb), np.int32)
-        prompt[0, :t] = req.prompt
-        cache1 = engine.init_cache(
-            self.cfg, 1, tb, quantized=self.cache.quantized
-        )
-        logits, cache1 = self._prefill_1(self.params, jnp.asarray(prompt), cache1)
-        # bucket padding attends causally within the prompt, so position
-        # t-1's logits are unaffected by the padded tail; but `prefill`
-        # returns last-position logits — recompute the true last position.
-        # Cheaper: read the cache only up to t and take logits at t-1 via a
-        # tiny gather — prefill gives logits for position tb-1, which saw
-        # padding. Run the exact-length path when t != tb.
-        if t != tb:
-            logits = self._exact_last_logits(req.prompt)
+        if self.prefill_chunk:
+            logits, cache1 = self._chunked_prefill(req, tb)
+        else:
+            prompt = np.zeros((1, tb), np.int32)
+            prompt[0, :t] = req.prompt
+            cache1 = engine.init_cache(
+                self.cfg, 1, tb, quantized=self.cache.quantized
+            )
+            logits, cache1 = self._prefill_1(
+                self.params, jnp.asarray(prompt), cache1
+            )
+            # bucket padding attends causally within the prompt, so position
+            # t-1's logits are unaffected by the padded tail; but `prefill`
+            # returns last-position logits — recompute the true last
+            # position. Run the exact-length path when t != tb.
+            if t != tb:
+                logits = self._exact_last_logits(req.prompt)
         # splice per-layer KV [1,Hkv,tb,D] -> cache layer [slot, :, :tb]
         def splice(big, small):
             return jax.lax.dynamic_update_slice(
-                big, small.astype(big.dtype), (slot, 0, 0, 0)
+                big, small[:, :, :tb].astype(big.dtype), (slot, 0, 0, 0)
             )
 
         def splice_all(bigs, smalls):
@@ -141,6 +155,31 @@ class Scheduler:
         self.cur_tokens[slot] = first
         req.generated.append(first)
         self._on_token(slot, first)
+
+    def _chunked_prefill(self, req: Request, tb: int):
+        """Feed the prompt through ragged `extend` in prefill_chunk-sized
+        pieces against a batch-1 cache, decoding the live batch between
+        chunks. The cache is sized tb + C: the last ragged chunk's padded
+        tail still writes C-n dead rows past the prompt (the splice trims
+        back to tb). Compiled programs stay bounded: one extend per
+        (chunk, bucket) pair."""
+        c = min(self.prefill_chunk, tb)
+        t = len(req.prompt)
+        cache1 = engine.init_cache(
+            self.cfg, 1, tb + c, quantized=self.cache.quantized
+        )
+        logits = None
+        for j0 in range(0, t, c):
+            nj = min(c, t - j0)
+            chunk = np.zeros((1, c), np.int32)
+            chunk[0, :nj] = req.prompt[j0 : j0 + nj]
+            logits, cache1 = engine.extend(
+                self.cfg, self.params, jnp.asarray(chunk), cache1,
+                n=jnp.full((1,), nj, jnp.int32), interpret=self.interpret,
+            )
+            if j0 + nj < t:
+                self._decode_once()
+        return logits, cache1
 
     def _exact_last_logits(self, prompt: np.ndarray):
         logits = tfm.forward(

@@ -316,3 +316,51 @@ def test_speculative_generate_sampling(params):
     assert out1.shape == (2, 8 + 12)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
     assert (np.asarray(out1) >= 0).all() and (np.asarray(out1) < CFG.vocab_size).all()
+
+
+def test_extend_ragged_n_matches_exact_prefill(params):
+    """engine.extend with per-slot n: padded ragged chunks must yield the
+    same logits and cache state as exact-length prefill per slot."""
+    lens = [5, 4]
+    prompts = [
+        jax.random.randint(jax.random.PRNGKey(30 + i), (n,), 0, CFG.vocab_size)
+        for i, n in enumerate(lens)
+    ]
+    chunk_c = 4
+    b = len(prompts)
+    cache = models.init_cache(CFG, b, 32)
+    # feed in two ragged chunks of width 4: slot0 n=(4,1), slot1 n=(3,1)->
+    # use per-chunk n vectors covering uneven raggedness
+    n1 = np.array([4, 3], np.int32)
+    c1 = np.zeros((b, chunk_c), np.int32)
+    for i in range(b):
+        c1[i, : n1[i]] = np.asarray(prompts[i][: n1[i]])
+    logits1, cache = models.extend(
+        CFG, params, jnp.asarray(c1), cache, n=jnp.asarray(n1)
+    )
+    n2 = np.array([1, 1], np.int32)  # hold the second slot at 1 more too
+    c2 = np.zeros((b, chunk_c), np.int32)
+    for i in range(b):
+        rest = np.asarray(prompts[i][n1[i] : n1[i] + n2[i]])
+        c2[i, : len(rest)] = rest
+    logits2, cache = models.extend(
+        CFG, params, jnp.asarray(c2), cache, n=jnp.asarray(n2)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cache.lengths), np.array([5, 4], np.int32)
+    )
+    # reference: exact-length batch-1 prefill of each slot's fed prefix
+    for i, total in enumerate([5, 4]):
+        ref_cache = models.init_cache(CFG, 1, 32)
+        ref_logits, ref_cache = models.prefill(
+            CFG, params, jnp.asarray(prompts[i][None, :total]), ref_cache
+        )
+        assert_rel_l2(
+            np.asarray(logits2[i]), np.asarray(ref_logits[0]), 2e-5
+        )
+        for l in range(CFG.n_layers):
+            assert_rel_l2(
+                np.asarray(cache.k[l][i, :, :total]),
+                np.asarray(ref_cache.k[l][0, :, :total]),
+                2e-5,
+            )

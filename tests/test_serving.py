@@ -57,3 +57,46 @@ def test_scheduler_eos_frees_slot():
     out = sched.run()
     assert len(out[u1]) == 2 and len(out[u2]) == 2
     assert out[u1] == out[u2]  # same prompt, same tokens, slot reuse is clean
+
+
+def test_scheduler_chunked_prefill_matches_isolated():
+    """Chunked prefill (ragged extend chunks, decode interleaved) must be
+    invisible: same tokens as one-shot prefill and isolated generation,
+    including chunk sizes that don't divide the prompt lengths."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(1)
+    sched = Scheduler(CFG, params, max_batch=3, max_len=128, prefill_chunk=5)
+
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (7, 13, 3, 11)  # remainders 2, 3, 3, 1 vs chunk 5
+    ]
+    uids = [sched.submit(p, max_new_tokens=4) for p in prompts]
+    out = sched.run()
+
+    for uid, prompt in zip(uids, prompts):
+        exp = _isolated_reference(params, prompt, 4)
+        assert out[uid] == exp, (uid, out[uid], exp)
+
+
+def test_scheduler_chunked_prefill_quantized_cache():
+    """Chunked prefill through the int8 fused-dequant ragged path."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    sched = Scheduler(
+        CFG, params, max_batch=2, max_len=128,
+        prefill_chunk=6, quantized_cache=True,
+    )
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (8, 5)
+    ]
+    uids = [sched.submit(p, max_new_tokens=3) for p in prompts]
+    out = sched.run()
+    ref = Scheduler(
+        CFG, params, max_batch=2, max_len=128, quantized_cache=True
+    )
+    ruids = [ref.submit(p, max_new_tokens=3) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
