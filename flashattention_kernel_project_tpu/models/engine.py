@@ -152,7 +152,9 @@ def _quantize_and_write(cache: KVCache, layer_idx, k_new, v_new, lengths):
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("interpret", "axis")
+)
 def prefill(
     cfg: tfm.TransformerConfig,
     params: dict,
@@ -160,13 +162,16 @@ def prefill(
     cache: KVCache,
     *,
     interpret: bool | None = None,
+    axis: str | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Run the prompt through the model, filling the cache at each slot's
     current length. tokens [B, T]. Returns (last-position logits, cache).
 
     Assumes the prefilled slots are empty (lengths[b] == 0): the fused
     attention here only attends within the prompt. (Chunked prefill against
-    existing cache content is a Scheduler-level flow, not yet wired.)"""
+    existing cache content is a Scheduler-level flow, not yet wired.)
+
+    axis: tensor-parallel mesh axis (see decode_step)."""
     b, t = tokens.shape
     x = params["embed"][tokens]
     positions = cache.lengths[:, None] + jnp.arange(t)[None, :]
@@ -196,8 +201,11 @@ def prefill(
             window=cfg.attn_window,
             sinks=cfg.attn_sinks,
         )
-        x = x + o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"]
-        x = tfm._mlp_block(layer, x)
+        x = x + _psum(
+            o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"],
+            axis,
+        )
+        x = _mlp(layer, x, axis)
 
         cache_view = KVCache(k_all, v_all, ks_all, vs_all, cache.lengths)
         k_all, v_all, ks_all, vs_all = _quantize_and_write(
@@ -212,7 +220,9 @@ def prefill(
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0,), static_argnames=("interpret", "all_logits")
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("interpret", "all_logits", "axis"),
 )
 def extend(
     cfg: tfm.TransformerConfig,
@@ -223,6 +233,7 @@ def extend(
     n: jax.Array | None = None,
     interpret: bool | None = None,
     all_logits: bool = False,
+    axis: str | None = None,
 ) -> tuple[jax.Array, KVCache]:
     """Chunked prefill: append T tokens per slot to a LIVE cache and attend
     to the full prefix (per-slot lengths + offsets via the ragged kernel).
@@ -288,8 +299,11 @@ def extend(
                 qh, k_all[i], v_all[i], new_lengths, cache.lengths,
                 **ragged_kw,
             )
-        x = x + o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"]
-        x = tfm._mlp_block(layer, x)
+        x = x + _psum(
+            o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"],
+            axis,
+        )
+        x = _mlp(layer, x, axis)
 
     x = tfm.rms_norm(x, params["rms_final"])
     if all_logits:
@@ -404,18 +418,31 @@ def _qkv(cfg, layer, h, b, t):
     return q, k, v
 
 
-def _mlp(layer, x):
+def _psum(t, axis: str | None):
+    """psum over the tensor-parallel axis (no-op outside shard_map)."""
+    return jax.lax.psum(t, axis) if axis else t
+
+
+def _mlp(layer, x, axis: str | None = None):
     if "w_gate_up" in layer or "w_gate_up_q" in layer:
         h = tfm.rms_norm(x, layer["rms_mlp"])
         gu = _proj(h, layer, "w_gate_up", x.dtype)
         f = gu.shape[-1] // 2
         gated = jax.nn.silu(gu[..., :f]) * gu[..., f:]
-        return x + _proj(gated, layer, "w_down", x.dtype)
+        return x + _psum(_proj(gated, layer, "w_down", x.dtype), axis)
+    if axis:
+        # split layout under TP: w_gate/w_up column-sharded, w_down
+        # row-parallel -> the partial sum is reduced here
+        h2 = tfm.rms_norm(x, layer["rms_mlp"])
+        gated = jax.nn.silu(h2 @ layer["w_gate"]) * (h2 @ layer["w_up"])
+        return x + _psum(gated @ layer["w_down"], axis)
     return tfm._mlp_block(layer, x)
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0,), static_argnames=("n_splits", "interpret")
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("n_splits", "interpret", "axis"),
 )
 def decode_step(
     cfg: tfm.TransformerConfig,
@@ -425,8 +452,14 @@ def decode_step(
     *,
     n_splits: int | None = None,
     interpret: bool | None = None,
+    axis: str | None = None,
 ) -> tuple[jax.Array, KVCache]:
-    """One decode step: tokens [B] -> (logits [B, vocab], updated cache)."""
+    """One decode step: tokens [B] -> (logits [B, vocab], updated cache).
+
+    axis: tensor-parallel mesh axis when called inside shard_map with
+    column/row-sharded weights and a head-sharded cache (cfg must then be
+    the LOCAL config — heads and d_ff divided by the axis size); inserts
+    the two megatron psums (after wo and w_down) per layer."""
     b = tokens.shape[0]
     x = params["embed"][tokens][:, None]  # [B, 1, D]
     sin, cos = tfm.rope_tables(cfg, cache.lengths[:, None])
@@ -460,8 +493,10 @@ def decode_step(
                 new_lengths, n_splits=n_splits, interpret=interpret,
                 window=cfg.attn_window, sinks=cfg.attn_sinks,
             )
-        x = x + _proj(o.reshape(b, 1, cfg.q_dim), layer, "wo", x.dtype)
-        x = _mlp(layer, x)
+        x = x + _psum(
+            _proj(o.reshape(b, 1, cfg.q_dim), layer, "wo", x.dtype), axis
+        )
+        x = _mlp(layer, x, axis)
 
     x = tfm.rms_norm(x, params["rms_final"])
     logits = _lm_head(params, x[:, 0])

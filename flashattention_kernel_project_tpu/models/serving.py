@@ -48,6 +48,8 @@ class Scheduler:
         eos_token: int | None = None,
         n_splits: int | None = None,
         prefill_chunk: int | None = None,
+        mesh=None,
+        model_axis: str = "model",
         interpret: bool | None = None,
     ):
         self.cfg = cfg
@@ -57,10 +59,40 @@ class Scheduler:
         self.eos_token = eos_token
         self.n_splits = n_splits
         self.prefill_chunk = prefill_chunk
+        self.mesh = mesh
         self.interpret = interpret
-        self.cache = engine.init_cache(
-            cfg, max_batch, max_len, quantized=quantized_cache
-        )
+        if mesh is not None:
+            # tensor-parallel mode: the whole engine runs shard_map'd over
+            # the mesh (parallel/tp_engine.py) — megatron-sharded weights,
+            # head-sharded cache. Prefill always takes the ragged-extend
+            # path (exact last-position logits, no bucket-padding refill),
+            # chunked when prefill_chunk is set.
+            from flashattention_kernel_project_tpu.parallel import (
+                shard_params, tp_engine,
+            )
+
+            pf, ef, df, rules = tp_engine.make_tp_engine(
+                cfg, mesh, model_axis=model_axis, n_splits=n_splits,
+                quantized_cache=quantized_cache, interpret=interpret,
+            )
+            self.params = shard_params(params, mesh, rules)
+            self.cache = tp_engine.init_tp_cache(
+                cfg, mesh, max_batch, max_len, quantized=quantized_cache,
+                model_axis=model_axis,
+            )
+            self._tp_extend = ef
+            self._init_cache1 = functools.partial(
+                tp_engine.init_tp_cache, cfg, mesh,
+                quantized=quantized_cache, model_axis=model_axis,
+            )
+        else:
+            self.cache = engine.init_cache(
+                cfg, max_batch, max_len, quantized=quantized_cache
+            )
+            self._tp_extend = None
+            self._init_cache1 = functools.partial(
+                engine.init_cache, cfg, quantized=quantized_cache
+            )
         self.slots: list[Request | None] = [None] * max_batch
         self.cur_tokens = np.zeros(max_batch, np.int32)
         self.finished: list[Request] = []
@@ -74,10 +106,14 @@ class Scheduler:
         self._prefill_1 = functools.partial(
             engine.prefill, cfg, interpret=interpret
         )
-        self._decode_params = engine.fuse_decode_params(cfg, params)
-        self._decode = functools.partial(
-            engine.decode_step, cfg, n_splits=n_splits, interpret=interpret
-        )
+        if mesh is not None:
+            self._decode_params = self.params  # sharded split layout
+            self._decode = lambda p, toks, cache: df(p, toks, cache)
+        else:
+            self._decode_params = engine.fuse_decode_params(cfg, params)
+            self._decode = functools.partial(
+                engine.decode_step, cfg, n_splits=n_splits, interpret=interpret
+            )
 
     # ----------------------------------------------------------------- API
     def submit(self, prompt: np.ndarray, max_new_tokens: int = 32) -> int:
@@ -116,7 +152,7 @@ class Scheduler:
         prompts, so no second full forward is needed on that path.
         """
         t = len(req.prompt)
-        if self.prefill_chunk:
+        if self.prefill_chunk or self.mesh is not None:
             logits, cache1 = self._chunked_prefill(req, tb)
         else:
             prompt = np.zeros((1, tb), np.int32)
@@ -163,20 +199,24 @@ class Scheduler:
         tail still writes C-n dead rows past the prompt (the splice trims
         back to tb). Compiled programs stay bounded: one extend per
         (chunk, bucket) pair."""
-        c = min(self.prefill_chunk, tb)
+        c = min(self.prefill_chunk or tb, tb)
         t = len(req.prompt)
-        cache1 = engine.init_cache(
-            self.cfg, 1, tb + c, quantized=self.cache.quantized
-        )
+        cache1 = self._init_cache1(1, tb + c)
         logits = None
         for j0 in range(0, t, c):
             nj = min(c, t - j0)
             chunk = np.zeros((1, c), np.int32)
             chunk[0, :nj] = req.prompt[j0 : j0 + nj]
-            logits, cache1 = engine.extend(
-                self.cfg, self.params, jnp.asarray(chunk), cache1,
-                n=jnp.full((1,), nj, jnp.int32), interpret=self.interpret,
-            )
+            nvec = jnp.full((1,), nj, jnp.int32)
+            if self._tp_extend is not None:
+                logits, cache1 = self._tp_extend(
+                    self.params, jnp.asarray(chunk), cache1, nvec
+                )
+            else:
+                logits, cache1 = engine.extend(
+                    self.cfg, self.params, jnp.asarray(chunk), cache1,
+                    n=nvec, interpret=self.interpret,
+                )
             if j0 + nj < t:
                 self._decode_once()
         return logits, cache1

@@ -24,3 +24,9 @@ from flashattention_kernel_project_tpu.parallel.pipeline import (  # noqa: F401
     pp_loss_fn,
     pp_param_specs,
 )
+from flashattention_kernel_project_tpu.parallel.tp_engine import (  # noqa: F401
+    cache_specs,
+    init_tp_cache,
+    local_config,
+    make_tp_engine,
+)

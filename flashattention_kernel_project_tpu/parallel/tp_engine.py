@@ -1,0 +1,129 @@
+"""Tensor-parallel serving engine: the full transformer decode/prefill
+stack over a mesh.
+
+parallel/mesh.py shards the ATTENTION KERNELS; this module shards the whole
+ENGINE — megatron column/row-sharded projections (the two psums per layer
+ride ICI), KV cache head-sharded P(None, "model", None, None), embedding and
+logits replicated. Inside shard_map each chip runs the stock engine
+(models/engine.py) on a LOCAL config (heads and d_ff divided by the axis
+size) — the mesh is purely a layout + two-collectives concern, exactly the
+design stance of SURVEY.md §5.8 (the reference is single-GPU; its analog is
+batch×head grid parallelism, e.g. qk_tiled_5_1_1.cu:164-170).
+
+The returned functions are drop-in replacements for engine.prefill /
+engine.extend / engine.decode_step, so the continuous-batching Scheduler
+(models/serving.py) runs unmodified across the mesh — "continuous batching
+across hosts" from the BASELINE north star.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flashattention_kernel_project_tpu.models import engine
+from flashattention_kernel_project_tpu.models import transformer as tfm
+
+
+def local_config(
+    cfg: tfm.TransformerConfig, tp: int
+) -> tfm.TransformerConfig:
+    """The per-chip config: heads and MLP width divided over the TP axis."""
+    assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, (
+        f"heads ({cfg.n_heads}/{cfg.n_kv_heads}) not divisible by tp={tp}"
+    )
+    assert cfg.d_ff % tp == 0, (cfg.d_ff, tp)
+    return dataclasses.replace(
+        cfg,
+        n_heads=cfg.n_heads // tp,
+        n_kv_heads=cfg.n_kv_heads // tp,
+        d_ff=cfg.d_ff // tp,
+    )
+
+
+def cache_specs(quantized: bool, n_layers: int, model_axis: str = "model"):
+    """PartitionSpec pytree for a head-sharded engine.KVCache."""
+    kv = tuple(P(None, model_axis, None, None) for _ in range(n_layers))
+    scale = kv if quantized else None
+    return engine.KVCache(k=kv, v=kv, k_scale=scale, v_scale=scale, lengths=P())
+
+
+def init_tp_cache(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    batch: int,
+    max_len: int,
+    *,
+    quantized: bool = False,
+    quant_fmt: str = "int8",
+    model_axis: str = "model",
+) -> engine.KVCache:
+    """Allocate the KV cache laid out head-sharded over the mesh."""
+    cache = engine.init_cache(
+        cfg, batch, max_len, quantized=quantized, quant_fmt=quant_fmt
+    )
+    specs = cache_specs(quantized, cfg.n_layers, model_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
+def make_tp_engine(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    *,
+    model_axis: str = "model",
+    n_splits: int | None = None,
+    quantized_cache: bool = False,
+    interpret: bool | None = None,
+):
+    """Build the sharded engine. Returns (prefill_fn, extend_fn, decode_fn,
+    param_rules). Params must be laid out per param_rules
+    (parallel.shard_params); caches per init_tp_cache.
+
+    prefill_fn(params, tokens[B,T], cache) -> (logits [B,V], cache)
+    extend_fn(params, tokens[B,T], cache, n[B]) -> (logits [B,V], cache)
+    decode_fn(params, tokens[B], cache) -> (logits [B,V], cache)
+
+    Logits are replicated (the lm head is replicated — each chip computes
+    them from the psum'd final hidden state).
+    """
+    tp = mesh.shape[model_axis]
+    lcfg = local_config(cfg, tp)
+    rules = tfm.param_shardings(cfg, model_axis=model_axis)
+    cspecs = cache_specs(quantized_cache, cfg.n_layers, model_axis)
+    logits_spec = P()
+
+    def _prefill(params, tokens, cache):
+        return engine.prefill(
+            lcfg, params, tokens, cache, interpret=interpret, axis=model_axis
+        )
+
+    def _extend(params, tokens, cache, n):
+        return engine.extend(
+            lcfg, params, tokens, cache, n=n, interpret=interpret,
+            axis=model_axis,
+        )
+
+    def _decode(params, tokens, cache):
+        return engine.decode_step(
+            lcfg, params, tokens, cache, n_splits=n_splits,
+            interpret=interpret, axis=model_axis,
+        )
+
+    prefill_fn = jax.jit(shard_map(
+        _prefill, mesh=mesh, check_vma=False,
+        in_specs=(rules, P(), cspecs), out_specs=(logits_spec, cspecs),
+    ))
+    extend_fn = jax.jit(shard_map(
+        _extend, mesh=mesh, check_vma=False,
+        in_specs=(rules, P(), cspecs, P()), out_specs=(logits_spec, cspecs),
+    ))
+    decode_fn = jax.jit(shard_map(
+        _decode, mesh=mesh, check_vma=False,
+        in_specs=(rules, P(), cspecs), out_specs=(logits_spec, cspecs),
+    ))
+    return prefill_fn, extend_fn, decode_fn, rules

@@ -257,3 +257,83 @@ def test_ulysses_gradients(rng):
     gs = jax.grad(loss_s, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gu, gs):
         assert_rel_l2(np.asarray(a), np.asarray(b_), tol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Full TP serving engine (parallel/tp_engine.py): prefill/extend/decode of
+# the whole transformer over the mesh vs the single-device engine.
+# ---------------------------------------------------------------------------
+
+def test_tp_engine_matches_single_device():
+    from flashattention_kernel_project_tpu import models
+
+    cfg = models.TransformerConfig(
+        vocab_size=64, d_model=32, n_layers=2, n_heads=8, n_kv_heads=4,
+        d_head=16, d_ff=64, dtype=jnp.float32, block_q=16, block_k=16,
+    )
+    mesh = parallel.make_mesh({"model": 4}, devices=jax.devices()[:4])
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    prefill_fn, extend_fn, decode_fn, rules = parallel.make_tp_engine(
+        cfg, mesh, n_splits=2, interpret=True
+    )
+    sparams = parallel.shard_params(params, mesh, rules)
+
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 64)
+    cache = parallel.init_tp_cache(cfg, mesh, 2, 48)
+    logits, cache = prefill_fn(sparams, prompt, cache)
+
+    ref_cache = models.init_cache(cfg, 2, 48)
+    ref_logits, ref_cache = models.prefill(cfg, params, prompt, ref_cache)
+    assert_rel_l2(np.asarray(logits), np.asarray(ref_logits), 1e-4)
+
+    # ragged extend over the mesh
+    chunk = jax.random.randint(jax.random.PRNGKey(2), (2, 4), 0, 64)
+    nvec = jnp.asarray([4, 2], jnp.int32)
+    logits, cache = extend_fn(sparams, chunk, cache, nvec)
+    ref_logits, ref_cache = models.extend(
+        cfg, params, chunk, ref_cache, n=nvec
+    )
+    assert_rel_l2(np.asarray(logits), np.asarray(ref_logits), 1e-4)
+
+    # a few decode steps: sharded tokens must track the reference exactly
+    cur = jnp.argmax(logits, -1).astype(jnp.int32)
+    ref_cur = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+    for _ in range(3):
+        logits, cache = decode_fn(sparams, cur, cache)
+        ref_logits, ref_cache = models.decode_step(
+            cfg, params, ref_cur, ref_cache, n_splits=2
+        )
+        assert_rel_l2(np.asarray(logits), np.asarray(ref_logits), 1e-4)
+        cur = jnp.argmax(logits, -1).astype(jnp.int32)
+        ref_cur = jnp.argmax(ref_logits, -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(cur), np.asarray(ref_cur))
+    np.testing.assert_array_equal(
+        np.asarray(cache.lengths), np.asarray(ref_cache.lengths)
+    )
+
+
+def test_tp_engine_quantized_cache():
+    """TP engine over an int8 head-sharded cache (fused dequant per shard)."""
+    from flashattention_kernel_project_tpu import models
+
+    cfg = models.TransformerConfig(
+        vocab_size=64, d_model=32, n_layers=2, n_heads=8, n_kv_heads=4,
+        d_head=16, d_ff=64, dtype=jnp.float32, block_q=16, block_k=16,
+    )
+    mesh = parallel.make_mesh({"model": 4}, devices=jax.devices()[:4])
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    prefill_fn, _, decode_fn, rules = parallel.make_tp_engine(
+        cfg, mesh, n_splits=2, quantized_cache=True, interpret=True
+    )
+    sparams = parallel.shard_params(params, mesh, rules)
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (2, 10), 0, 64)
+    cache = parallel.init_tp_cache(cfg, mesh, 2, 32, quantized=True)
+    logits, cache = prefill_fn(sparams, prompt, cache)
+
+    ref_cache = models.init_cache(cfg, 2, 32, quantized=True)
+    ref_logits, ref_cache = models.prefill(cfg, params, prompt, ref_cache)
+    assert_rel_l2(np.asarray(logits), np.asarray(ref_logits), 1e-4)
+    cur = jnp.argmax(logits, -1).astype(jnp.int32)
+    logits, cache = decode_fn(sparams, cur, cache)
+    ref_logits, _ = models.decode_step(cfg, params, cur, ref_cache, n_splits=2)
+    assert_rel_l2(np.asarray(logits), np.asarray(ref_logits), 1e-4)

@@ -100,3 +100,35 @@ def test_scheduler_chunked_prefill_quantized_cache():
     rout = ref.run()
     for u, ru in zip(uids, ruids):
         assert out[u] == rout[ru], (out[u], rout[ru])
+
+
+def test_scheduler_tp_mesh_matches_single_device():
+    """Scheduler(mesh=...): the whole continuous-batching loop runs over a
+    tensor-parallel mesh (sharded weights + head-sharded cache) and must
+    produce exactly the single-device scheduler's tokens."""
+    from flashattention_kernel_project_tpu import parallel
+
+    cfg = models.TransformerConfig(
+        vocab_size=64, d_model=32, n_layers=2, n_heads=8, n_kv_heads=4,
+        d_head=16, d_ff=64, dtype=jnp.float32, block_q=16, block_k=16,
+    )
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    mesh = parallel.make_mesh({"model": 4}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(3)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, size=n).astype(np.int32)
+        for n in (6, 11, 4)
+    ]
+
+    tp = Scheduler(
+        cfg, params, max_batch=2, max_len=64, mesh=mesh,
+        prefill_chunk=5, interpret=True,
+    )
+    uids = [tp.submit(p, max_new_tokens=4) for p in prompts]
+    out = tp.run()
+
+    ref = Scheduler(cfg, params, max_batch=2, max_len=64, interpret=True)
+    ruids = [ref.submit(p, max_new_tokens=4) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
