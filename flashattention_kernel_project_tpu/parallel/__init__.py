@@ -9,6 +9,7 @@ from flashattention_kernel_project_tpu.parallel.mesh import (  # noqa: F401
 from flashattention_kernel_project_tpu.parallel.train import (  # noqa: F401
     make_train_step,
     make_cp_train_step,
+    make_optax_train_step,
 )
 from flashattention_kernel_project_tpu.parallel.ring_attention import (  # noqa: F401
     ring_attention,

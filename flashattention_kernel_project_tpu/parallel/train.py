@@ -92,6 +92,8 @@ def make_train_step(
     def _is_tp(spec: P) -> bool:
         return model_axis in [ax for ax in spec if ax is not None]
 
+    tp = mesh.shape[model_axis]
+
     def step(params, tokens):
         loss, grads = jax.value_and_grad(
             functools.partial(
@@ -101,10 +103,17 @@ def make_train_step(
         # DP: average grads + loss over the data axis.
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, data_axis), grads)
         loss = jax.lax.pmean(loss, data_axis)
-        # Replicated leaves (embed, norms): average over model to kill drift;
-        # TP-sharded leaves are exclusively owned, leave them alone.
+        # psum's TRANSPOSE is psum (check_vma=False): every cotangent that
+        # crossed a forward psum arrives scaled by |model|, so each chip's
+        # raw grad is tp * (its own contribution). Replicated leaves
+        # (embed, norms): pmean over model folds the factor away WHILE
+        # summing the per-chip contributions (the same algebra as the CP
+        # step below). TP-sharded leaves: the chip's contribution IS the
+        # whole gradient of its exclusive shard — divide the factor out.
         grads = jax.tree.map(
-            lambda g, spec: g if _is_tp(spec) else jax.lax.pmean(g, model_axis),
+            lambda g, spec: (
+                g / tp if _is_tp(spec) else jax.lax.pmean(g, model_axis)
+            ),
             grads,
             rules,
         )
@@ -252,3 +261,124 @@ def make_cp_train_step(
         check_vma=False,
     )
     return jax.jit(step_sm), rules
+
+
+# ---------------------------------------------------------------------------
+# Optax-backed DP x TP train step: real optimizers (AdamW, schedules) over
+# the same megatron layout. Optimizer state mirrors the param sharding
+# (Adam's mu/nu are param-shaped -> param specs; step counters replicate).
+# ---------------------------------------------------------------------------
+
+def _optimizer_state_specs(optimizer, params, rules):
+    """PartitionSpecs for an optax state: any sub-tree structured exactly
+    like `params` (mu, nu, trace, ...) gets the param specs; everything
+    else (counters, scalars) replicates."""
+    pdef = jax.tree.structure(params)
+    shapes = jax.eval_shape(optimizer.init, params)
+
+    def is_node(n):
+        if isinstance(n, jax.ShapeDtypeStruct):
+            return True
+        try:
+            return jax.tree.structure(n) == pdef
+        except Exception:
+            return False
+
+    return jax.tree.map(
+        lambda n: rules if not isinstance(n, jax.ShapeDtypeStruct) else P(),
+        shapes,
+        is_leaf=is_node,
+    )
+
+
+def make_optax_train_step(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    optimizer,
+    params,
+    *,
+    clip_norm: float | None = None,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    interpret: bool | None = None,
+):
+    """DP x TP train step driven by an optax optimizer (e.g.
+    optax.adamw(3e-4)). `params` is the (global, unsharded or abstract)
+    param tree — needed to shape the optimizer state. The optimizer must
+    be ELEMENTWISE over leaves (adam/sgd/schedules are): each device
+    updates its weight shard with its own state shard. Global-norm
+    clipping is NOT safe inside such an optimizer under TP (a local norm
+    differs per shard and would desync the replicated leaves) — pass
+    clip_norm here instead: the true global norm is assembled with a psum
+    over the model axis (TP-sharded leaves) before scaling.
+
+    Returns (init_fn(sharded_params) -> opt_state,
+             step_fn(params, opt_state, tokens) -> (params, opt_state, loss),
+             param_specs, opt_state_specs).
+    """
+    rules = tfm.param_shardings(cfg, data_axis=data_axis, model_axis=model_axis)
+
+    def _is_tp(spec: P) -> bool:
+        return model_axis in [ax for ax in spec if ax is not None]
+
+    def _global_sq_norm(grads):
+        # TP-sharded leaves: every chip owns a disjoint slice -> psum the
+        # local square sums. Replicated leaves: identical on all chips
+        # (post-pmean) -> count once.
+        tp_sq = sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g, spec in zip(jax.tree.leaves(grads), jax.tree.leaves(rules))
+            if _is_tp(spec)
+        )
+        rep_sq = sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g, spec in zip(jax.tree.leaves(grads), jax.tree.leaves(rules))
+            if not _is_tp(spec)
+        )
+        return jax.lax.psum(tp_sq, model_axis) + rep_sq
+
+    tp = mesh.shape[model_axis]
+
+    def step(params, opt_state, tokens):
+        loss, grads = jax.value_and_grad(
+            functools.partial(
+                _tp_loss, cfg, model_axis=model_axis, interpret=interpret
+            )
+        )(params, tokens)
+        grads = jax.tree.map(lambda g: jax.lax.pmean(g, data_axis), grads)
+        loss = jax.lax.pmean(loss, data_axis)
+        # see make_train_step: raw per-chip grads carry a tp factor from the
+        # psum transpose — /tp for exclusively-owned shards, pmean for
+        # replicated leaves
+        grads = jax.tree.map(
+            lambda g, spec: (
+                g / tp if _is_tp(spec) else jax.lax.pmean(g, model_axis)
+            ),
+            grads,
+            rules,
+        )
+        if clip_norm is not None:
+            gnorm = jnp.sqrt(_global_sq_norm(grads))
+            scale = jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: (g * scale).astype(g.dtype), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda p, u: (p.astype(jnp.float32) + u.astype(jnp.float32))
+            .astype(p.dtype),
+            params,
+            updates,
+        )
+        return params, opt_state, loss
+
+    sspecs = _optimizer_state_specs(optimizer, params, rules)
+    init_fn = jax.jit(shard_map(
+        optimizer.init, mesh=mesh, in_specs=(rules,), out_specs=sspecs,
+        check_vma=False,
+    ))
+    step_fn = jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(rules, sspecs, P(data_axis, None)),
+        out_specs=(rules, sspecs, P()),
+        check_vma=False,
+    ))
+    return init_fn, step_fn, rules, sspecs
