@@ -151,11 +151,18 @@ def make_pp_train_step(
                 interpret=interpret, remat=remat,
             )
         )(params, tokens)
-        # replicated leaves (embed, final norm) get gradient contributions
-        # only from the stages that use them — sum over the pipe axis;
-        # pipe-sharded slabs are exclusively owned.
+        # psum's transpose is psum (check_vma=False): the loss's final
+        # total/count psums hand every stage a cotangent scaled by
+        # n_stages, so each chip's raw grad is n_stages * (its own
+        # contribution). Replicated leaves (embed, final norm) need the
+        # SUM of per-stage contributions -> pmean folds the factor away
+        # while summing; pipe-sharded slabs are exclusively owned ->
+        # divide the factor out.
         grads = jax.tree.map(
-            lambda g, spec: g if _is_pipe(spec) else jax.lax.psum(g, pipe_axis),
+            lambda g, spec: (
+                g / n_stages if _is_pipe(spec)
+                else jax.lax.pmean(g, pipe_axis)
+            ),
             grads,
             specs,
         )

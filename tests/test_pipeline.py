@@ -49,3 +49,24 @@ def test_pp_train_step_decreases_loss(cfg):
     for _ in range(3):
         p, l = step(p, tokens)
     assert np.isfinite(float(l0)) and float(l) < float(l0)
+
+
+def test_pp_train_step_matches_single_device(cfg):
+    """One PP step == one single-device SGD step: atol tight enough that a
+    constant factor on any leaf's gradient (the psum-transpose n_stages x
+    bug class) cannot hide inside the update."""
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(3), (4, 32), 0, 64)
+    mesh = parallel.make_mesh({"pipe": 4}, devices=jax.devices()[:4])
+    step, specs = parallel.make_pp_train_step(
+        cfg, mesh, n_micro=2, lr=1e-2, interpret=True, remat=False
+    )
+    sharded = parallel.shard_params(params, mesh, specs)
+    new_pp, loss_pp = step(sharded, tokens)
+
+    new_ref, loss_ref = models.sgd_train_step(cfg, params, tokens, lr=1e-2, interpret=True)
+    np.testing.assert_allclose(float(loss_pp), float(loss_ref), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(new_pp), jax.tree.leaves(new_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )

@@ -72,7 +72,7 @@ def test_cp_step_matches_single_device():
     np.testing.assert_allclose(float(loss_cp), float(loss_single), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(new_cp), jax.tree.leaves(new_single)):
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
         )
 
 
