@@ -50,6 +50,9 @@ class Scheduler:
         prefill_chunk: int | None = None,
         mesh=None,
         model_axis: str = "model",
+        paged: bool = False,
+        page_size: int = 128,
+        n_pages: int | None = None,
         interpret: bool | None = None,
     ):
         self.cfg = cfg
@@ -60,7 +63,34 @@ class Scheduler:
         self.n_splits = n_splits
         self.prefill_chunk = prefill_chunk
         self.mesh = mesh
+        self.paged = paged
         self.interpret = interpret
+        if paged and mesh is not None:
+            raise NotImplementedError("paged + mesh TP not wired yet")
+        if paged:
+            # vLLM-style backend: a shared page pool replaces the per-slot
+            # max_len reservation. Pages are allocated at insert for the
+            # request's full budget (prompt + max_new) and returned to the
+            # pool at retirement — undersizing n_pages below
+            # max_batch*max_len/page_size + 1 oversubscribes capacity on
+            # the bet that requests retire early (allocation raises
+            # MemoryError when the bet fails). Page 0 is the reserved junk
+            # page: retired/empty slots' block tables point at it, so
+            # their masked decode appends land harmlessly there.
+            from flashattention_kernel_project_tpu.ops.paged_decode import (
+                PagePool,
+            )
+
+            self._page = page_size
+            self._pages_per_seq = -(-max_len // page_size)
+            self._n_pages = n_pages or (max_batch * self._pages_per_seq + 1)
+            self.cache = engine.init_paged_cache(
+                cfg, max_batch, self._n_pages, page_size=page_size,
+                max_pages_per_seq=self._pages_per_seq,
+                quantized=quantized_cache,
+            )
+            self._pool = PagePool(self._n_pages)
+            self._slot_pages: list[list[int]] = [[] for _ in range(max_batch)]
         if mesh is not None:
             # tensor-parallel mode: the whole engine runs shard_map'd over
             # the mesh (parallel/tp_engine.py) — megatron-sharded weights,
@@ -86,12 +116,16 @@ class Scheduler:
                 quantized=quantized_cache, model_axis=model_axis,
             )
         else:
-            self.cache = engine.init_cache(
-                cfg, max_batch, max_len, quantized=quantized_cache
-            )
+            if not paged:
+                self.cache = engine.init_cache(
+                    cfg, max_batch, max_len, quantized=quantized_cache
+                )
             self._tp_extend = None
+            # paged mode prefills into a full-precision batch-1 cache — the
+            # page scatter (engine._scatter_pages_q) owns the quantization
             self._init_cache1 = functools.partial(
-                engine.init_cache, cfg, quantized=quantized_cache
+                engine.init_cache, cfg,
+                quantized=quantized_cache and not paged,
             )
         self.slots: list[Request | None] = [None] * max_batch
         self.cur_tokens = np.zeros(max_batch, np.int32)
@@ -109,6 +143,11 @@ class Scheduler:
         if mesh is not None:
             self._decode_params = self.params  # sharded split layout
             self._decode = lambda p, toks, cache: df(p, toks, cache)
+        elif paged:
+            self._decode_params = engine.fuse_decode_params(cfg, params)
+            self._decode = functools.partial(
+                engine.decode_step_paged, cfg, interpret=interpret
+            )
         else:
             self._decode_params = engine.fuse_decode_params(cfg, params)
             self._decode = functools.partial(
@@ -157,9 +196,7 @@ class Scheduler:
         else:
             prompt = np.zeros((1, tb), np.int32)
             prompt[0, :t] = req.prompt
-            cache1 = engine.init_cache(
-                self.cfg, 1, tb, quantized=self.cache.quantized
-            )
+            cache1 = self._init_cache1(1, tb)
             logits, cache1 = self._prefill_1(
                 self.params, jnp.asarray(prompt), cache1
             )
@@ -169,6 +206,17 @@ class Scheduler:
             # position. Run the exact-length path when t != tb.
             if t != tb:
                 logits = self._exact_last_logits(req.prompt)
+        if self.paged:
+            self._insert_pages(slot, req, cache1, t)
+        else:
+            self._splice_linear(slot, cache1, tb, t)
+        self.slots[slot] = req
+        first = int(np.argmax(np.asarray(logits)[0]))
+        self.cur_tokens[slot] = first
+        req.generated.append(first)
+        self._on_token(slot, first)
+
+    def _splice_linear(self, slot: int, cache1, tb: int, t: int):
         # splice per-layer KV [1,Hkv,tb,D] -> cache layer [slot, :, :tb]
         def splice(big, small):
             return jax.lax.dynamic_update_slice(
@@ -186,11 +234,19 @@ class Scheduler:
             vs = splice_all(vs, cache1.v_scale)
         lengths = self.cache.lengths.at[slot].set(t)
         self.cache = engine.KVCache(new_k, new_v, ks, vs, lengths)
-        self.slots[slot] = req
-        first = int(np.argmax(np.asarray(logits)[0]))
-        self.cur_tokens[slot] = first
-        req.generated.append(first)
-        self._on_token(slot, first)
+
+    def _insert_pages(self, slot: int, req: Request, cache1, t: int):
+        """Allocate pages for the request's full budget, scatter the
+        prefilled prefix into them, install the block table."""
+        n_need = -(-(t + req.max_new_tokens) // self._page)
+        pages = self._pool.alloc(n_need)
+        self._slot_pages[slot] = pages
+        row = self._pool.table_for(pages, self._pages_per_seq)
+        k_seq = tuple(k[0, :, :t] for k in cache1.k)
+        v_seq = tuple(v[0, :, :t] for v in cache1.v)
+        self.cache = engine.paged_insert(
+            self.cache, slot, jnp.asarray(row), k_seq, v_seq, t
+        )
 
     def _chunked_prefill(self, req: Request, tb: int):
         """Feed the prompt through ragged `extend` in prefill_chunk-sized
@@ -258,3 +314,13 @@ class Scheduler:
             self.cache = self.cache._replace(
                 lengths=self.cache.lengths.at[slot].set(0)
             )
+            if self.paged:
+                # return the slot's pages to the pool and point its table
+                # at the junk page: the retired slot keeps riding the
+                # full-batch decode (masked output), and its append must
+                # not write into pages another request now owns
+                self._pool.free(self._slot_pages[slot])
+                self._slot_pages[slot] = []
+                self.cache = self.cache._replace(
+                    block_tables=self.cache.block_tables.at[slot].set(0)
+                )

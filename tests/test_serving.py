@@ -132,3 +132,89 @@ def test_scheduler_tp_mesh_matches_single_device():
     rout = ref.run()
     for u, ru in zip(uids, ruids):
         assert out[u] == rout[ru], (out[u], rout[ru])
+
+
+def test_scheduler_paged_matches_linear():
+    """Paged-pool scheduler must produce exactly the linear-cache
+    scheduler's tokens, including slot reuse (page recycling + junk-page
+    table reset after retirement)."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (6, 11, 4, 9)  # 4 requests > 2 slots: retirement + reuse
+    ]
+    pg = Scheduler(
+        CFG, params, max_batch=2, max_len=64, paged=True, page_size=16,
+    )
+    uids = [pg.submit(p, max_new_tokens=4) for p in prompts]
+    out = pg.run()
+    assert pg._pool.free_pages == pg._n_pages - 1  # all pages recycled
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64)
+    ruids = [ref.submit(p, max_new_tokens=4) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
+
+
+def test_scheduler_paged_quantized():
+    """int8 page pool end to end: prefix quantized by the page scatter,
+    decode through the fused-dequant paged kernel."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (8, 5)
+    ]
+    pg = Scheduler(
+        CFG, params, max_batch=2, max_len=64, paged=True, page_size=16,
+        quantized_cache=True,
+    )
+    uids = [pg.submit(p, max_new_tokens=3) for p in prompts]
+    out = pg.run()
+    # int8-cache scheduler over the LINEAR cache is the numerics reference
+    ref = Scheduler(
+        CFG, params, max_batch=2, max_len=64, quantized_cache=True
+    )
+    ruids = [ref.submit(p, max_new_tokens=3) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
+
+
+def test_scheduler_paged_pool_exhaustion():
+    """Oversubscribed pool: allocation past capacity raises MemoryError
+    (the documented failure mode), it does not corrupt other requests."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    sched = Scheduler(
+        CFG, params, max_batch=2, max_len=64, paged=True, page_size=16,
+        n_pages=3,  # junk page + 2 usable: second insert cannot fit
+    )
+    p = np.arange(20, dtype=np.int32) % CFG.vocab_size
+    sched.submit(p, max_new_tokens=8)   # needs ceil(28/16)=2 pages
+    sched.submit(p, max_new_tokens=8)
+    import pytest as _pytest
+    with _pytest.raises(MemoryError):
+        sched.run()
+
+
+def test_scheduler_paged_chunked_prefill():
+    """Chunked prefill composes with the page pool."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(6)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (13, 7)
+    ]
+    pg = Scheduler(
+        CFG, params, max_batch=2, max_len=64, paged=True, page_size=16,
+        prefill_chunk=5,
+    )
+    uids = [pg.submit(p, max_new_tokens=4) for p in prompts]
+    out = pg.run()
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64)
+    ruids = [ref.submit(p, max_new_tokens=4) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
