@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Speculative-decoding throughput: target-quality tokens/s with and
+without a draft model. The win condition is wall-clock — one ragged
+target extend of k+1 tokens (MXU-bound, prefill-shaped) replacing up to
+k+1 sequential HBM-bound decode steps; acceptance rate is reported so a
+regression in draft quality is visible separately from kernel speed.
+
+Usage: python benchmarks/bench_spec.py [--batch 4] [--spec-k 4]
+       [--draft-layers 2] [--tiny]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--max-new", type=int, default=128)
+    ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--layers", type=int, default=8)
+    ap.add_argument("--draft-layers", type=int, default=2)
+    ap.add_argument("--prompt-len", type=int, default=128)
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the env pin to the TPU tunnel is "
+        "ignored by JAX; this must be a config update before backend init)",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from flashattention_kernel_project_tpu import models
+
+    if args.tiny:
+        cfg = models.TransformerConfig(
+            vocab_size=256, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+            d_head=16, d_ff=128, dtype=jnp.float32, block_q=32, block_k=32,
+        )
+        args.max_new, args.prompt_len = 16, 16
+        draft_cfg = dataclasses.replace(cfg, n_layers=1, d_ff=64)
+    else:
+        cfg = models.TransformerConfig(
+            vocab_size=32000, d_model=2048, n_layers=args.layers, n_heads=16,
+            n_kv_heads=4, d_head=128, d_ff=5504, dtype=jnp.bfloat16,
+            block_q=1024, block_k=1024,
+        )
+        draft_cfg = dataclasses.replace(
+            cfg, n_layers=args.draft_layers, d_ff=cfg.d_ff // 2
+        )
+
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    draft_params = models.init_params(draft_cfg, jax.random.PRNGKey(1))
+    prompt = jax.random.randint(
+        jax.random.PRNGKey(2), (args.batch, args.prompt_len), 0,
+        cfg.vocab_size,
+    )
+
+    def timed(fn):
+        fn()  # warmup/compile
+        t0 = time.perf_counter()
+        out = fn()
+        return np.asarray(out), time.perf_counter() - t0
+
+    out_plain, dt_plain = timed(lambda: models.generate(
+        cfg, params, prompt, max_new_tokens=args.max_new
+    ))
+    out_spec, dt_spec = timed(lambda: models.speculative_generate(
+        cfg, params, prompt,
+        draft_cfg=draft_cfg, draft_params=draft_params,
+        spec_k=args.spec_k, max_new_tokens=args.max_new,
+    ))
+    assert (out_plain == out_spec).all(), "greedy spec must match greedy"
+
+    toks = args.batch * args.max_new
+    print(
+        f"plain decode: {toks / dt_plain:,.0f} tok/s | "
+        f"spec k={args.spec_k} draft={draft_cfg.n_layers}L: "
+        f"{toks / dt_spec:,.0f} tok/s | speedup {dt_plain / dt_spec:.2f}x"
+    )
+
+
+if __name__ == "__main__":
+    main()
