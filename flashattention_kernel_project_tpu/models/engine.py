@@ -654,14 +654,18 @@ def init_paged_cache(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_full", "page", "length"),
+    static_argnames=("n_full", "page", "length", "start"),
     donate_argnums=(0, 1),
 )
-def _scatter_pages(kp, vp, k_seq, v_seq, table_row, *, n_full, page, length):
+def _scatter_pages(
+    kp, vp, k_seq, v_seq, table_row, *, n_full, page, length, start=0
+):
     """Scatter one layer's prefix KV into its pages. Jitted with the pool
     buffers DONATED: un-jitted dynamic_update_slice would materialize a full
-    pool copy per page (O(layers * pages) multi-GB traffic per insert)."""
-    for j in range(n_full):
+    pool copy per page (O(layers * pages) multi-GB traffic per insert).
+    start: first page ordinal to write (earlier pages are shared/owned by
+    the prefix cache and must not be touched)."""
+    for j in range(start, n_full):
         lo = j * page
         hi = min(lo + page, length)
         blk_k = jnp.zeros((kp.shape[1], page, kp.shape[3]), kp.dtype)
@@ -679,11 +683,12 @@ def _scatter_pages(kp, vp, k_seq, v_seq, table_row, *, n_full, page, length):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_full", "page", "length"),
+    static_argnames=("n_full", "page", "length", "start"),
     donate_argnums=(0, 1, 2, 3),
 )
 def _scatter_pages_q(
-    kp, ksp, vp, vsp, k_seq, v_seq, table_row, *, n_full, page, length
+    kp, ksp, vp, vsp, k_seq, v_seq, table_row, *, n_full, page, length,
+    start=0,
 ):
     """Quantized variant of _scatter_pages: per-token 8-bit quantization of
     the prefix (int8 or fp8 pool dtype), values into the 8-bit pages, scales
@@ -697,7 +702,7 @@ def _scatter_pages_q(
     )
     k_q, k_s = quantizer(k_seq, axis=-1)   # [Hkv, T, D], [Hkv, T, 1]
     v_q, v_s = quantizer(v_seq, axis=-1)
-    for j in range(n_full):
+    for j in range(start, n_full):
         lo = j * page
         hi = min(lo + page, length)
         hkv = kp.shape[1]
@@ -733,11 +738,15 @@ def paged_insert(
     k_seq: tuple,           # per-layer [Hkv, T, D] prefix KV
     v_seq: tuple,
     length: int,
+    *,
+    start_page: int = 0,
 ) -> PagedKVCache:
     """Scatter a sequence's prefix KV (from a linear prefill) into its
     allocated pages and install the block table at `slot`. One jitted,
     pool-donating scatter per layer (lengths are bucketed by the scheduler,
-    so the per-(T, n_full) compile cost amortizes)."""
+    so the per-(T, n_full) compile cost amortizes). start_page > 0 skips
+    the leading pages — they are prefix-cache pages shared with other
+    sequences and already hold this content."""
     page = cache.page_size
     n_full = -(-int(length) // page)
     k_pages = list(cache.k_pages)
@@ -752,6 +761,7 @@ def paged_insert(
                 k_pages[li], ksp[li], v_pages[li], vsp[li],
                 k_seq[li], v_seq[li], table_row,
                 n_full=n_full, page=page, length=int(length),
+                start=start_page,
             )
         return PagedKVCache(
             tuple(k_pages), tuple(v_pages), tables, lengths,
@@ -760,9 +770,46 @@ def paged_insert(
     for li in range(len(k_pages)):
         k_pages[li], v_pages[li] = _scatter_pages(
             k_pages[li], v_pages[li], k_seq[li], v_seq[li], table_row,
-            n_full=n_full, page=page, length=int(length),
+            n_full=n_full, page=page, length=int(length), start=start_page,
         )
     return PagedKVCache(tuple(k_pages), tuple(v_pages), tables, lengths)
+
+
+def cache_from_pages(
+    cfg: tfm.TransformerConfig,
+    cache: PagedKVCache,
+    page_ids,
+    s: int,
+    max_len: int,
+) -> KVCache:
+    """Assemble a batch-1 LINEAR cache whose first s rows are the content
+    of the given (full) pages — the prefix-cache gather that lets a new
+    request skip prefill compute for a shared prompt prefix and extend
+    only its suffix. An 8-bit pool is dequantized into the linear rows
+    (the suffix then attends exactly what decode attends). Returns a
+    full-precision cache with lengths=[s]."""
+    ids = jnp.asarray(page_ids, jnp.int32)
+    hkv, page, d = cache.k_pages[0].shape[1:]
+    L = len(cache.k_pages)
+    out = init_cache(cfg, 1, max_len, quantized=False)
+    k_rows, v_rows = list(out.k), list(out.v)
+    for li in range(L):
+        kp = jnp.take(cache.k_pages[li], ids, axis=0)  # [ns, Hkv, page, D]
+        vp = jnp.take(cache.v_pages[li], ids, axis=0)
+        if cache.quantized:
+            # lane-major scales [ns, Hkv, 1, page] -> [ns, Hkv, page, 1]
+            ks = jnp.swapaxes(jnp.take(cache.k_scale_pages[li], ids, 0), -1, -2)
+            vs = jnp.swapaxes(jnp.take(cache.v_scale_pages[li], ids, 0), -1, -2)
+            kp = kp.astype(jnp.float32) * ks
+            vp = vp.astype(jnp.float32) * vs
+        k_lin = jnp.moveaxis(kp, 0, 1).reshape(hkv, -1, d)[:, :s]
+        v_lin = jnp.moveaxis(vp, 0, 1).reshape(hkv, -1, d)[:, :s]
+        k_rows[li] = k_rows[li].at[0, :, :s].set(k_lin.astype(out.k[li].dtype))
+        v_rows[li] = v_rows[li].at[0, :, :s].set(v_lin.astype(out.v[li].dtype))
+    return KVCache(
+        tuple(k_rows), tuple(v_rows), None, None,
+        jnp.full((1,), s, jnp.int32),
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))

@@ -53,6 +53,7 @@ class Scheduler:
         paged: bool = False,
         page_size: int = 128,
         n_pages: int | None = None,
+        prefix_cache: bool = False,
         interpret: bool | None = None,
     ):
         self.cfg = cfg
@@ -91,6 +92,18 @@ class Scheduler:
             )
             self._pool = PagePool(self._n_pages)
             self._slot_pages: list[list[int]] = [[] for _ in range(max_batch)]
+            # automatic prefix caching (vLLM-style): full prompt pages are
+            # content-addressed by a position-chained hash; a new request
+            # whose prompt starts with an already-resident block chain
+            # reuses those pages (refcounted) AND skips their prefill
+            # compute — the shared rows are gathered back into the batch-1
+            # cache and only the suffix runs through ragged extend.
+            self._prefix_index: dict[bytes, int] = {}   # key -> page id
+            self._page_refs: dict[int, int] = {}        # page id -> refs
+            self._page_key: dict[int, bytes] = {}       # page id -> key
+        elif prefix_cache:
+            raise ValueError("prefix_cache requires paged=True")
+        self.prefix_cache = prefix_cache
         if mesh is not None:
             # tensor-parallel mode: the whole engine runs shard_map'd over
             # the mesh (parallel/tp_engine.py) — megatron-sharded weights,
@@ -191,7 +204,17 @@ class Scheduler:
         prompts, so no second full forward is needed on that path.
         """
         t = len(req.prompt)
-        if self.prefill_chunk or self.mesh is not None:
+        shared: list[int] = []
+        keys: list[bytes] = []
+        if self.paged and self.prefix_cache:
+            shared, keys = self._match_prefix(req.prompt)
+        if shared:
+            # shared-prefix fast path: gather the resident pages into the
+            # batch-1 cache and prefill only the suffix
+            logits, cache1 = self._chunked_prefill(
+                req, tb, prefix_pages=shared
+            )
+        elif self.prefill_chunk or self.mesh is not None:
             logits, cache1 = self._chunked_prefill(req, tb)
         else:
             prompt = np.zeros((1, tb), np.int32)
@@ -207,7 +230,7 @@ class Scheduler:
             if t != tb:
                 logits = self._exact_last_logits(req.prompt)
         if self.paged:
-            self._insert_pages(slot, req, cache1, t)
+            self._insert_pages(slot, req, cache1, t, shared, keys)
         else:
             self._splice_linear(slot, cache1, tb, t)
         self.slots[slot] = req
@@ -235,20 +258,68 @@ class Scheduler:
         lengths = self.cache.lengths.at[slot].set(t)
         self.cache = engine.KVCache(new_k, new_v, ks, vs, lengths)
 
-    def _insert_pages(self, slot: int, req: Request, cache1, t: int):
-        """Allocate pages for the request's full budget, scatter the
-        prefilled prefix into them, install the block table."""
-        n_need = -(-(t + req.max_new_tokens) // self._page)
-        pages = self._pool.alloc(n_need)
+    def _match_prefix(self, prompt: np.ndarray):
+        """Longest chain of resident full prompt pages. Returns (page ids,
+        chained keys for EVERY full prompt page). Keys chain through the
+        preceding page's key, so a block only matches at the same absolute
+        positions (KV rows embed RoPE positions). The final full page is
+        never matched when the prompt is exactly page-aligned — the suffix
+        extend needs at least one token to produce the first logits."""
+        import hashlib
+
+        page = self._page
+        t = len(prompt)
+        n_full = t // page
+        keys: list[bytes] = []
+        prev = b""
+        for j in range(n_full):
+            h = hashlib.blake2b(digest_size=16)
+            h.update(prev)
+            h.update(np.ascontiguousarray(prompt[j * page : (j + 1) * page]))
+            prev = h.digest()
+            keys.append(prev)
+        matchable = min(n_full, (t - 1) // page)
+        shared: list[int] = []
+        for j in range(matchable):
+            pid = self._prefix_index.get(keys[j])
+            if pid is None:
+                break
+            shared.append(pid)
+        return shared, keys
+
+    def _insert_pages(
+        self, slot: int, req: Request, cache1, t: int,
+        shared: list[int] = (), keys: list[bytes] = (),
+    ):
+        """Allocate pages for the request's full budget (reusing the shared
+        prefix pages), scatter the prefilled suffix into the new ones,
+        install the block table, and register the request's own full
+        prompt pages in the prefix index."""
+        n_total = -(-(t + req.max_new_tokens) // self._page)
+        new_pages = self._pool.alloc(n_total - len(shared))
+        for pid in shared:
+            self._page_refs[pid] += 1
+        for pid in new_pages:
+            self._page_refs[pid] = 1
+        pages = list(shared) + new_pages
         self._slot_pages[slot] = pages
         row = self._pool.table_for(pages, self._pages_per_seq)
         k_seq = tuple(k[0, :, :t] for k in cache1.k)
         v_seq = tuple(v[0, :, :t] for v in cache1.v)
         self.cache = engine.paged_insert(
-            self.cache, slot, jnp.asarray(row), k_seq, v_seq, t
+            self.cache, slot, jnp.asarray(row), k_seq, v_seq, t,
+            start_page=len(shared),
         )
+        if self.prefix_cache:
+            # register this prompt's full pages (tail partial page and
+            # generated-token pages are never shared); an already-indexed
+            # key keeps its original page — this one stays private
+            for j in range(len(shared), t // self._page):
+                if keys[j] not in self._prefix_index:
+                    self._prefix_index[keys[j]] = pages[j]
+                    self._page_key[pages[j]] = keys[j]
 
-    def _chunked_prefill(self, req: Request, tb: int):
+    def _chunked_prefill(self, req: Request, tb: int, prefix_pages=None):
         """Feed the prompt through ragged `extend` in prefill_chunk-sized
         pieces against a batch-1 cache, decoding the live batch between
         chunks. The cache is sized tb + C: the last ragged chunk's padded
@@ -257,9 +328,16 @@ class Scheduler:
         (chunk, bucket) pair."""
         c = min(self.prefill_chunk or tb, tb)
         t = len(req.prompt)
-        cache1 = self._init_cache1(1, tb + c)
+        if prefix_pages:
+            s = len(prefix_pages) * self._page
+            cache1 = engine.cache_from_pages(
+                self.cfg, self.cache, prefix_pages, s, tb + c
+            )
+        else:
+            s = 0
+            cache1 = self._init_cache1(1, tb + c)
         logits = None
-        for j0 in range(0, t, c):
+        for j0 in range(s, t, c):
             nj = min(c, t - j0)
             chunk = np.zeros((1, c), np.int32)
             chunk[0, :nj] = req.prompt[j0 : j0 + nj]
@@ -315,11 +393,21 @@ class Scheduler:
                 lengths=self.cache.lengths.at[slot].set(0)
             )
             if self.paged:
-                # return the slot's pages to the pool and point its table
-                # at the junk page: the retired slot keeps riding the
-                # full-batch decode (masked output), and its append must
-                # not write into pages another request now owns
-                self._pool.free(self._slot_pages[slot])
+                # drop this slot's references; free pages nobody else
+                # holds (and unregister them from the prefix index), then
+                # point the table at the junk page: the retired slot keeps
+                # riding the full-batch decode (masked output), and its
+                # append must not write into pages another request owns
+                dead = []
+                for pid in self._slot_pages[slot]:
+                    self._page_refs[pid] -= 1
+                    if self._page_refs[pid] == 0:
+                        dead.append(pid)
+                        del self._page_refs[pid]
+                        key = self._page_key.pop(pid, None)
+                        if key is not None:
+                            self._prefix_index.pop(key, None)
+                self._pool.free(dead)
                 self._slot_pages[slot] = []
                 self.cache = self.cache._replace(
                     block_tables=self.cache.block_tables.at[slot].set(0)

@@ -218,3 +218,85 @@ def test_scheduler_paged_chunked_prefill():
     rout = ref.run()
     for u, ru in zip(uids, ruids):
         assert out[u] == rout[ru], (out[u], rout[ru])
+
+
+def test_scheduler_prefix_cache_shares_pages():
+    """Automatic prefix caching: two live requests with a common prompt
+    prefix share the prefix's full pages (refcounted), skip its prefill
+    compute, and still produce exactly the non-shared scheduler's tokens."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, CFG.vocab_size, size=40).astype(np.int32)
+    p1 = np.concatenate([base, rng.integers(0, CFG.vocab_size, size=5).astype(np.int32)])
+    p2 = np.concatenate([base, rng.integers(0, CFG.vocab_size, size=9).astype(np.int32)])
+
+    pg = Scheduler(
+        CFG, params, max_batch=2, max_len=128, paged=True, page_size=16,
+        prefix_cache=True,
+    )
+    u1 = pg.submit(p1, max_new_tokens=4)
+    u2 = pg.submit(p2, max_new_tokens=4)
+    pg._fill_slots()  # insert both; second must reuse the first's pages
+    shared = set(pg._slot_pages[0]) & set(pg._slot_pages[1])
+    assert len(shared) == 40 // 16, (pg._slot_pages, shared)
+    for pid in shared:
+        assert pg._page_refs[pid] == 2
+    out = pg.run()
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=128, paged=True,
+                    page_size=16)
+    r1 = ref.submit(p1, max_new_tokens=4)
+    r2 = ref.submit(p2, max_new_tokens=4)
+    rout = ref.run()
+    assert out[u1] == rout[r1] and out[u2] == rout[r2]
+    # all pages recycled, index emptied once both requests retired
+    assert pg._pool.free_pages == pg._n_pages - 1
+    assert not pg._prefix_index and not pg._page_refs
+
+
+def test_scheduler_prefix_cache_page_aligned_prompt():
+    """A prompt that is exactly page-aligned never shares its final full
+    page (the suffix extend needs >= 1 token), and identical prompts
+    still decode identically."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(8)
+    p = rng.integers(0, CFG.vocab_size, size=32).astype(np.int32)  # 2 pages
+    pg = Scheduler(
+        CFG, params, max_batch=2, max_len=128, paged=True, page_size=16,
+        prefix_cache=True,
+    )
+    u1 = pg.submit(p, max_new_tokens=3)
+    u2 = pg.submit(p, max_new_tokens=3)
+    pg._fill_slots()
+    shared = set(pg._slot_pages[0]) & set(pg._slot_pages[1])
+    assert len(shared) == 1  # first page shared, final page held back
+    out = pg.run()
+    assert out[u1] == out[u2]
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=128)
+    r1 = ref.submit(p, max_new_tokens=3)
+    rout = ref.run()
+    assert out[u1] == rout[r1]
+
+
+def test_scheduler_prefix_cache_quantized_pool():
+    """Prefix sharing over an int8 pool: the gathered prefix is the
+    dequantized pages (exactly what decode attends); stream stays sane and
+    accounting closes."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, CFG.vocab_size, size=32).astype(np.int32)
+    p1 = np.concatenate([base, [1, 2, 3]]).astype(np.int32)
+    p2 = np.concatenate([base, [4, 5]]).astype(np.int32)
+    pg = Scheduler(
+        CFG, params, max_batch=2, max_len=128, paged=True, page_size=16,
+        prefix_cache=True, quantized_cache=True,
+    )
+    u1 = pg.submit(p1, max_new_tokens=3)
+    u2 = pg.submit(p2, max_new_tokens=3)
+    pg._fill_slots()
+    assert len(set(pg._slot_pages[0]) & set(pg._slot_pages[1])) == 2
+    out = pg.run()
+    assert len(out[u1]) == 3 and len(out[u2]) == 3
+    assert all(0 <= t < CFG.vocab_size for t in out[u1] + out[u2])
+    assert pg._pool.free_pages == pg._n_pages - 1
