@@ -77,6 +77,14 @@ def build_benches(quick: bool, long: bool = False):
         functools.partial(ops.matmul_int8_weights, out_dtype=jnp.bfloat16),
         (a16, w8, w8s), flops=2 * m**3)
 
+    # fully-quantized GEMM: both operands int8 on the MXU — judged against
+    # the int8 roofline (v5e: 394 TOPS, 2x bf16). Exact int32 accumulate,
+    # dequant epilogue.
+    a8, a8s = ops.quantize_int8(
+        jnp.asarray(rng.standard_normal((m, m)), jnp.float32), axis=1)
+    reg("gemm_int8_int8_4096", ops.matmul_int8, (a8, a8s, w8, w8s),
+        flops=2 * m**3, dtype="int8")
+
     # BASELINE.json config: "tensorcore_gemm_batched with fused
     # scale+bias+softmax epilogue (B=32, M=N=K=2048)"
     bs, ms = 32, 2048

@@ -37,6 +37,7 @@ from flashattention_kernel_project_tpu.ops.quant import (  # noqa: F401
     quantize_fp8,
     dequantize_fp8,
     quantize_kv,
+    matmul_int8,
     matmul_int8_weights,
 )
 from flashattention_kernel_project_tpu.ops.paged_decode import (  # noqa: F401,E402

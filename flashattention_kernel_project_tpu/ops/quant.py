@@ -141,6 +141,97 @@ def matmul_int8_weights(
     return out[:m, :n]
 
 
+def _matmul_i8_kernel(a_ref, b_ref, as_ref, bs_ref, o_ref, acc_ref, *, n_k):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # int8 x int8 on the MXU at 2x the bf16 rate, exact int32 accumulate
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _():
+        o_ref[:] = (
+            acc_ref[:].astype(jnp.float32) * as_ref[:] * bs_ref[:]
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret"),
+)
+def matmul_int8(
+    a_q: jax.Array,
+    a_scale: jax.Array,
+    b_q: jax.Array,
+    b_scale: jax.Array,
+    *,
+    block_m: int = 1024,
+    block_n: int = 1024,
+    block_k: int = 512,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fully-quantized GEMM: BOTH operands int8 on the MXU (v5e: 394 TOPS
+    int8 vs 197 TFLOP/s bf16 — the 2x rung the reference's fp16 WMMA
+    pipeline stands in for, per the BASELINE north star). The K-loop
+    accumulates EXACTLY in int32 (no drift: |a||b|K <= 127*127*K < 2^31
+    for K < 133k); the only error is the input quantization itself.
+    Per-row a_scale [M, 1] and per-column b_scale [1, N] dequantize in the
+    epilogue, once per output element.
+
+    a_q: [M, K] int8, b_q: [K, N] int8. Returns [M, N] out_dtype ==
+    dequant(a_q) @ dequant(b_q) to fp32 rounding.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    m, k = a_q.shape
+    k2, n = b_q.shape
+    assert k == k2, (a_q.shape, b_q.shape)
+    assert a_scale.shape == (m, 1), a_scale.shape
+    assert b_scale.shape == (1, n), b_scale.shape
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    block_k = min(block_k, k)
+    a_q = _pad_to(a_q, (block_m, block_k))
+    b_q = _pad_to(b_q, (block_k, block_n))
+    a_scale = _pad_to(a_scale, (block_m, 1))
+    b_scale = _pad_to(b_scale, (1, block_n))
+    mp, kp = a_q.shape
+    np_ = b_q.shape[1]
+    n_k = kp // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_matmul_i8_kernel, n_k=n_k),
+        grid=(mp // block_m, np_ // block_n, n_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp + kp * np_
+            + mp * np_ * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_q, b_q, a_scale, b_scale)
+    return out[:m, :n]
+
+
 # ---------------------------------------------------------------------------
 # KV-cache quantization helpers (per-token scales; consumed by flash_decode)
 # ---------------------------------------------------------------------------

@@ -47,3 +47,23 @@ def test_quantize_kv_shapes(rng):
     back = ops.dequantize_int8(k_q, k_s)
     step = np.abs(k).max(-1, keepdims=True) / 127.0
     assert np.all(np.abs(np.asarray(back) - k) <= step + 1e-6)
+
+
+def test_matmul_int8_both_operands(rng):
+    """Fully-quantized int8 x int8 GEMM: the int32 accumulate is exact, so
+    the result must equal dequant(a) @ dequant(b) to fp32 rounding."""
+    from flashattention_kernel_project_tpu.ops.quant import (
+        dequantize_int8, matmul_int8, quantize_int8,
+    )
+
+    a = rng.standard_normal((200, 320), dtype=np.float32)
+    b = rng.standard_normal((320, 150), dtype=np.float32)
+    a_q, a_s = quantize_int8(jnp.asarray(a), axis=1)   # per-row
+    b_q, b_s = quantize_int8(jnp.asarray(b), axis=0)   # per-column
+    out = matmul_int8(a_q, a_s, b_q, b_s, block_m=128, block_n=128, block_k=128)
+    ref = np.asarray(dequantize_int8(a_q, a_s)) @ np.asarray(
+        dequantize_int8(b_q, b_s)
+    )
+    assert_rel_l2(np.asarray(out), ref, 1e-5)
+    # and the quantization error vs full precision stays int8-sized
+    assert_rel_l2(np.asarray(out), a @ b, 2e-2)
