@@ -90,13 +90,13 @@ def main():
         out = sched.run()
         dt = time.perf_counter() - t0
         toks = sum(len(out[u]) for u in uids)
-        return toks, dt
+        return toks, dt, sched.metrics()
 
     run_once()  # warmup: compiles every bucket/decode program
-    toks, dt = run_once()
+    toks, dt, m = run_once()
     print(
         f"serving backend={args.backend} chunk={args.prefill_chunk} "
-        f"int8={args.int8}: {toks} tokens in {dt:.3f}s = {toks / dt:,.0f} tok/s"
+        f"int8={args.int8}: {m}"
     )
 
 

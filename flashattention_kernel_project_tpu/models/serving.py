@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Callable
 
 import jax
@@ -32,6 +33,34 @@ class Request:
     max_new_tokens: int
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    # observability (seconds, time.perf_counter clock)
+    t_submit: float = 0.0
+    t_first_token: float = 0.0
+    t_done: float = 0.0
+
+
+@dataclasses.dataclass
+class ServingMetrics:
+    """Aggregate serving stats over the finished requests (SURVEY §5.5's
+    metrics subsystem, serving-grade: the reference only printf'd kernel
+    timings; a serving engine is judged on TTFT and per-request latency)."""
+
+    requests: int
+    tokens: int
+    wall_s: float
+    tok_per_s: float
+    ttft_s_mean: float      # submit -> first committed token
+    ttft_s_p95: float
+    latency_s_mean: float   # submit -> done
+    latency_s_p95: float
+
+    def __str__(self):
+        return (
+            f"{self.requests} req, {self.tokens} tok in {self.wall_s:.2f}s "
+            f"= {self.tok_per_s:,.0f} tok/s | TTFT mean {self.ttft_s_mean*1e3:.0f}ms "
+            f"p95 {self.ttft_s_p95*1e3:.0f}ms | latency mean "
+            f"{self.latency_s_mean*1e3:.0f}ms p95 {self.latency_s_p95*1e3:.0f}ms"
+        )
 
 
 class Scheduler:
@@ -176,15 +205,37 @@ class Scheduler:
                 f"prompt ({len(prompt)}) + max_new ({max_new_tokens}) "
                 f"exceeds max_len ({self.max_len})"
             )
-        self._requests[uid] = Request(uid, prompt, max_new_tokens)
+        self._requests[uid] = Request(
+            uid, prompt, max_new_tokens, t_submit=time.perf_counter()
+        )
         return uid
 
     def run(self) -> dict[int, list[int]]:
         """Drain all requests; returns {uid: generated tokens}."""
+        t0 = time.perf_counter()
         while self.core.pending() or self.core.active():
             self._fill_slots()
             self._decode_once()
+        self._wall_s = getattr(self, "_wall_s", 0.0) + time.perf_counter() - t0
         return {r.uid: r.generated for r in self.finished}
+
+    def metrics(self) -> ServingMetrics:
+        """Aggregate stats over the requests finished so far."""
+        fin = self.finished
+        ttft = np.array([r.t_first_token - r.t_submit for r in fin])
+        lat = np.array([r.t_done - r.t_submit for r in fin])
+        toks = sum(len(r.generated) for r in fin)
+        wall = getattr(self, "_wall_s", 0.0)
+        return ServingMetrics(
+            requests=len(fin),
+            tokens=toks,
+            wall_s=wall,
+            tok_per_s=toks / wall if wall > 0 else 0.0,
+            ttft_s_mean=float(ttft.mean()) if len(fin) else 0.0,
+            ttft_s_p95=float(np.percentile(ttft, 95)) if len(fin) else 0.0,
+            latency_s_mean=float(lat.mean()) if len(fin) else 0.0,
+            latency_s_p95=float(np.percentile(lat, 95)) if len(fin) else 0.0,
+        )
 
     # ------------------------------------------------------------ internals
     def _fill_slots(self):
@@ -237,6 +288,7 @@ class Scheduler:
         first = int(np.argmax(np.asarray(logits)[0]))
         self.cur_tokens[slot] = first
         req.generated.append(first)
+        req.t_first_token = time.perf_counter()
         self._on_token(slot, first)
 
     def _splice_linear(self, slot: int, cache1, tb: int, t: int):
@@ -386,6 +438,7 @@ class Scheduler:
         if self.core.on_token(slot, token, eos):
             req = self.slots[slot]
             req.done = True
+            req.t_done = time.perf_counter()
             self.finished.append(req)
             self.slots[slot] = None
             self._requests.pop(req.uid, None)

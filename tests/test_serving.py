@@ -300,3 +300,21 @@ def test_scheduler_prefix_cache_quantized_pool():
     assert len(out[u1]) == 3 and len(out[u2]) == 3
     assert all(0 <= t < CFG.vocab_size for t in out[u1] + out[u2])
     assert pg._pool.free_pages == pg._n_pages - 1
+
+
+def test_scheduler_metrics():
+    """metrics(): every finished request carries submit/TTFT/done stamps
+    and the aggregate accounting adds up."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    sched = Scheduler(CFG, params, max_batch=2, max_len=64)
+    p = np.array([1, 2, 3, 4], np.int32)
+    uids = [sched.submit(p, max_new_tokens=3) for _ in range(3)]
+    out = sched.run()
+    m = sched.metrics()
+    assert m.requests == 3
+    assert m.tokens == sum(len(out[u]) for u in uids) == 9
+    assert m.wall_s > 0 and m.tok_per_s > 0
+    assert 0 < m.ttft_s_mean <= m.latency_s_mean
+    assert m.latency_s_p95 >= m.latency_s_mean * 0.5
+    for r in sched.finished:
+        assert r.t_submit <= r.t_first_token <= r.t_done
