@@ -83,6 +83,9 @@ class Scheduler:
         page_size: int = 128,
         n_pages: int | None = None,
         prefix_cache: bool = False,
+        draft_cfg: tfm.TransformerConfig | None = None,
+        draft_params: dict | None = None,
+        spec_k: int = 4,
         interpret: bool | None = None,
     ):
         self.cfg = cfg
@@ -133,6 +136,29 @@ class Scheduler:
         elif prefix_cache:
             raise ValueError("prefix_cache requires paged=True")
         self.prefix_cache = prefix_cache
+        # speculative decoding (greedy): a draft model proposes spec_k
+        # tokens per round, ONE ragged target extend verifies the whole
+        # batch — committed tokens are exactly what plain greedy decode
+        # would emit (tests pin this), the win is wall-clock. Linear
+        # backend only: the verify extend needs spec_k+1 scratch rows past
+        # each slot's committed length (the admission core reserves them).
+        self.spec = draft_cfg is not None
+        if self.spec:
+            if paged or mesh is not None:
+                raise NotImplementedError(
+                    "speculative decoding: linear single-mesh backend only"
+                )
+            assert draft_cfg.vocab_size == cfg.vocab_size
+            self.draft_cfg = draft_cfg
+            self.spec_k = spec_k
+            self.dcache = engine.init_cache(draft_cfg, max_batch, max_len)
+            self._draft_split_params = draft_params
+            self._draft_params = engine.fuse_decode_params(
+                draft_cfg, draft_params
+            )
+            self._draft_decode = functools.partial(
+                engine.decode_step, draft_cfg, interpret=interpret
+            )
         if mesh is not None:
             # tensor-parallel mode: the whole engine runs shard_map'd over
             # the mesh (parallel/tp_engine.py) — megatron-sharded weights,
@@ -175,7 +201,12 @@ class Scheduler:
         # all scheduling DECISIONS (admission order, slot choice, budget/EOS
         # finish, prompt bucketing) live in the native C++ core
         # (runtime/scheduler.cpp; behavior-identical Python fallback)
-        self.core = BatchSchedulerCore(max_batch, max_len)
+        # spec mode reserves spec_k+1 scratch rows per slot: the verify
+        # extend transiently writes that far past the committed length
+        self.core = BatchSchedulerCore(
+            max_batch,
+            max_len - (spec_k + 1 if self.spec else 0),
+        )
         self._requests: dict[int, Request] = {}
 
         # one compiled single-seq prefill per prompt bucket
@@ -284,6 +315,20 @@ class Scheduler:
             self._insert_pages(slot, req, cache1, t, shared, keys)
         else:
             self._splice_linear(slot, cache1, tb, t)
+        if self.spec:
+            # draft-side prefill: only the KV rows matter (the draft's
+            # prompt logits are never used), so a bucket-padded one-shot
+            # prefill is exact enough — rows [0:t] are position-correct
+            dprompt = np.zeros((1, tb), np.int32)
+            dprompt[0, :t] = req.prompt
+            dcache1 = engine.init_cache(self.draft_cfg, 1, tb)
+            _, dcache1 = engine.prefill(
+                self.draft_cfg, self._draft_split_params,
+                jnp.asarray(dprompt), dcache1, interpret=self.interpret,
+            )
+            self.dcache = self._splice_linear(
+                slot, dcache1, tb, t, into=self.dcache
+            )
         self.slots[slot] = req
         first = int(np.argmax(np.asarray(logits)[0]))
         self.cur_tokens[slot] = first
@@ -291,8 +336,10 @@ class Scheduler:
         req.t_first_token = time.perf_counter()
         self._on_token(slot, first)
 
-    def _splice_linear(self, slot: int, cache1, tb: int, t: int):
+    def _splice_linear(self, slot: int, cache1, tb: int, t: int, into=None):
         # splice per-layer KV [1,Hkv,tb,D] -> cache layer [slot, :, :tb]
+        target = self.cache if into is None else into
+
         def splice(big, small):
             return jax.lax.dynamic_update_slice(
                 big, small[:, :, :tb].astype(big.dtype), (slot, 0, 0, 0)
@@ -301,14 +348,17 @@ class Scheduler:
         def splice_all(bigs, smalls):
             return tuple(splice(b, s) for b, s in zip(bigs, smalls))
 
-        new_k = splice_all(self.cache.k, cache1.k)
-        new_v = splice_all(self.cache.v, cache1.v)
-        ks, vs = self.cache.k_scale, self.cache.v_scale
-        if self.cache.quantized:
+        new_k = splice_all(target.k, cache1.k)
+        new_v = splice_all(target.v, cache1.v)
+        ks, vs = target.k_scale, target.v_scale
+        if target.quantized:
             ks = splice_all(ks, cache1.k_scale)
             vs = splice_all(vs, cache1.v_scale)
-        lengths = self.cache.lengths.at[slot].set(t)
-        self.cache = engine.KVCache(new_k, new_v, ks, vs, lengths)
+        lengths = target.lengths.at[slot].set(t)
+        out = engine.KVCache(new_k, new_v, ks, vs, lengths)
+        if into is None:
+            self.cache = out
+        return out
 
     def _match_prefix(self, prompt: np.ndarray):
         """Longest chain of resident full prompt pages. Returns (page ids,
@@ -419,6 +469,8 @@ class Scheduler:
     def _decode_once(self):
         if not self.core.active():
             return
+        if self.spec:
+            return self._spec_round()
         logits, self.cache = self._decode(
             self._decode_params, jnp.asarray(self.cur_tokens), self.cache
         )
@@ -430,6 +482,62 @@ class Scheduler:
             req.generated.append(tok)
             self.cur_tokens[i] = tok
             self._on_token(i, tok)
+
+    def _spec_round(self):
+        """One speculative round over the live batch: spec_k draft decode
+        steps propose, one ragged target extend over [cur, d_1..d_k]
+        verifies every slot; each slot commits its accepted prefix + the
+        target's correction/bonus token (1..spec_k+1 target-grade tokens).
+        Rollback is the per-slot lengths vector — KV written past a slot's
+        accepted prefix is dead and overwritten by later rounds. EOS or
+        budget exhaustion mid-commit retires the slot and drops the rest
+        of its round."""
+        k = self.spec_k
+        cur = jnp.asarray(self.cur_tokens)
+        dl, self.dcache = self._draft_decode(
+            self._draft_params, cur, self.dcache
+        )
+        drafts = []
+        for _ in range(k):
+            d_j = jnp.argmax(dl, axis=-1).astype(jnp.int32)
+            drafts.append(d_j)
+            dl, self.dcache = self._draft_decode(
+                self._draft_params, d_j, self.dcache
+            )
+        d = jnp.stack(drafts, axis=1)                      # [B, k]
+        chunk = jnp.concatenate([cur[:, None], d], axis=1)  # [B, k+1]
+        old_len = np.asarray(self.cache.lengths).copy()
+        all_l, self.cache = engine.extend(
+            self.cfg, self.params, chunk, self.cache,
+            all_logits=True, interpret=self.interpret,
+        )
+        preds = np.asarray(jnp.argmax(all_l, axis=-1), np.int32)  # [B, k+1]
+        d_np = np.asarray(d)
+        match = preds[:, :-1] == d_np
+        a = np.where(match.all(axis=1), k, np.argmin(match, axis=1))
+
+        new_len = old_len.copy()
+        for i, req in enumerate(self.slots):
+            if req is None:
+                new_len[i] = 0  # empty slot: undo the extend's advance
+                continue
+            take = list(d_np[i, : int(a[i])]) + [int(preds[i, int(a[i])])]
+            committed = 0
+            for tok in take:
+                committed += 1
+                req.generated.append(int(tok))
+                self.cur_tokens[i] = int(tok)
+                self._on_token(i, int(tok))
+                if self.slots[i] is None:
+                    break  # retired mid-round; drop the rest
+            new_len[i] = 0 if self.slots[i] is None else old_len[i] + committed
+        self.cache = self.cache._replace(
+            lengths=jnp.asarray(new_len, jnp.int32)
+        )
+        # the draft consumed [cur, d_1..d_k]; resync to the target's view
+        self.dcache = self.dcache._replace(
+            lengths=jnp.asarray(new_len, jnp.int32)
+        )
 
     def _on_token(self, slot: int, token: int):
         """Report the token to the core; on finish, retire the request and

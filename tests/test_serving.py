@@ -4,6 +4,7 @@ tokens as isolated generation (the batch is invisible to each request)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from flashattention_kernel_project_tpu import models
 from flashattention_kernel_project_tpu.models.serving import Scheduler
@@ -318,3 +319,59 @@ def test_scheduler_metrics():
     assert m.latency_s_p95 >= m.latency_s_mean * 0.5
     for r in sched.finished:
         assert r.t_submit <= r.t_first_token <= r.t_done
+
+
+@pytest.mark.parametrize("same_draft", [True, False])
+def test_scheduler_speculative_matches_plain(same_draft):
+    """Scheduler(draft_...): continuous batching + speculative decoding
+    must produce EXACTLY the plain scheduler's greedy tokens — with a
+    perfect draft (same model) and a low-acceptance random draft —
+    including queueing past the slot count."""
+    import dataclasses as dc
+
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    if same_draft:
+        draft_cfg, draft_params = CFG, params
+    else:
+        draft_cfg = dc.replace(CFG, n_layers=1, d_ff=64)
+        draft_params = models.init_params(draft_cfg, jax.random.PRNGKey(99))
+    rng = np.random.default_rng(10)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (6, 11, 4)
+    ]
+    sp = Scheduler(
+        CFG, params, max_batch=2, max_len=64,
+        draft_cfg=draft_cfg, draft_params=draft_params, spec_k=3,
+    )
+    uids = [sp.submit(p, max_new_tokens=6) for p in prompts]
+    out = sp.run()
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64)
+    ruids = [ref.submit(p, max_new_tokens=6) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
+
+
+def test_scheduler_speculative_eos():
+    """EOS inside an accepted draft chunk retires the request mid-round
+    and drops the rest of the round's tokens."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    p = np.array([1, 2, 3], np.int32)
+    # find whatever token plain greedy emits second, use it as EOS
+    probe = Scheduler(CFG, params, max_batch=1, max_len=64)
+    pu = probe.submit(p, max_new_tokens=4)
+    eos = probe.run()[pu][1]
+
+    sp = Scheduler(
+        CFG, params, max_batch=1, max_len=64, eos_token=int(eos),
+        draft_cfg=CFG, draft_params=params, spec_k=3,
+    )
+    u = sp.submit(p, max_new_tokens=8)
+    out = sp.run()
+    ref = Scheduler(CFG, params, max_batch=1, max_len=64, eos_token=int(eos))
+    ru = ref.submit(p, max_new_tokens=8)
+    rout = ref.run()
+    assert out[u] == rout[ru]
+    assert out[u][-1] == eos and len(out[u]) <= 8
