@@ -76,3 +76,47 @@ def test_params_only_restore_from_training_checkpoint(tmp_path, cfg):
     assert "opt_state" in got  # present on disk -> still returned
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(got["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_resume_identical_through_sharded_optax_step(tmp_path, cfg):
+    """Save mid-training from the DP x TP optax step, restore into the
+    sharded layout, continue — the resumed run must produce the same
+    losses and final params as the uninterrupted one."""
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, cfg.vocab_size)
+    mesh = parallel.make_mesh({"data": 2, "model": 2}, devices=jax.devices()[:4])
+    opt = optax.adamw(1e-2)
+    init_fn, step_fn, rules, sspecs = parallel.make_optax_train_step(
+        cfg, mesh, opt, params
+    )
+    p = parallel.shard_params(params, mesh, rules)
+    s = init_fn(p)
+
+    # uninterrupted: 4 steps
+    p_ref, s_ref = p, s
+    losses_ref = []
+    for _ in range(4):
+        p_ref, s_ref, loss = step_fn(p_ref, s_ref, tokens)
+        losses_ref.append(float(loss))
+
+    # interrupted: 2 steps, checkpoint, restore into the mesh, 2 more
+    p2, s2 = p, s
+    for _ in range(2):
+        p2, s2, _ = step_fn(p2, s2, tokens)
+    from flashattention_kernel_project_tpu.models import checkpoint as ck
+
+    ck.save_checkpoint(str(tmp_path / "mid"), p2, step=2, opt_state=s2)
+    got = ck.restore_checkpoint(
+        str(tmp_path / "mid"),
+        params_template=p2, opt_state_template=s2,
+    )
+    assert got["step"] == 2
+    p3, s3 = got["params"], got["opt_state"]
+    losses_resumed = []
+    for _ in range(2):
+        p3, s3, loss = step_fn(p3, s3, tokens)
+        losses_resumed.append(float(loss))
+
+    np.testing.assert_allclose(losses_resumed, losses_ref[2:], rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p3), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
