@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--backend", choices=("linear", "paged"), default="linear")
     ap.add_argument("--prefill-chunk", type=int, default=None)
+    ap.add_argument("--multi-step", type=int, default=1,
+                    help="device-resident decode window (1 = per-token)")
     ap.add_argument("--int8", action="store_true")
     ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--d-model", type=int, default=2048)
@@ -84,6 +86,7 @@ def main():
             quantized_cache=args.int8,
             prefill_chunk=args.prefill_chunk,
             paged=args.backend == "paged",
+            multi_step=args.multi_step,
         )
         uids = [sched.submit(p, max_new_tokens=args.max_new) for p in prompts]
         t0 = time.perf_counter()
@@ -96,7 +99,7 @@ def main():
     toks, dt, m = run_once()
     print(
         f"serving backend={args.backend} chunk={args.prefill_chunk} "
-        f"int8={args.int8}: {m}"
+        f"int8={args.int8} multi_step={args.multi_step}: {m}"
     )
 
 

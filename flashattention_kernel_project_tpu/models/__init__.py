@@ -20,6 +20,7 @@ from flashattention_kernel_project_tpu.models.engine import (  # noqa: F401
     init_paged_cache,
     decode_step_paged,
     paged_insert,
+    decode_steps,
     generate,
     speculative_accept,
     speculative_generate,

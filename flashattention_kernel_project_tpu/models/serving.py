@@ -86,6 +86,7 @@ class Scheduler:
         draft_cfg: tfm.TransformerConfig | None = None,
         draft_params: dict | None = None,
         spec_k: int = 4,
+        multi_step: int = 1,
         interpret: bool | None = None,
     ):
         self.cfg = cfg
@@ -201,12 +202,20 @@ class Scheduler:
         # all scheduling DECISIONS (admission order, slot choice, budget/EOS
         # finish, prompt bucketing) live in the native C++ core
         # (runtime/scheduler.cpp; behavior-identical Python fallback)
-        # spec mode reserves spec_k+1 scratch rows per slot: the verify
-        # extend transiently writes that far past the committed length
-        self.core = BatchSchedulerCore(
-            max_batch,
-            max_len - (spec_k + 1 if self.spec else 0),
+        # multi-token modes write past the committed length before the
+        # host sees EOS/budget: spec's verify extend needs spec_k+1 scratch
+        # rows per slot, multi_step decode needs multi_step — reserve them
+        # at admission
+        self.multi_step = multi_step
+        if multi_step > 1:
+            if self.spec or paged or mesh is not None:
+                raise NotImplementedError(
+                    "multi_step: plain linear backend only"
+                )
+        reserve = spec_k + 1 if self.spec else (
+            multi_step if multi_step > 1 else 0
         )
+        self.core = BatchSchedulerCore(max_batch, max_len - reserve)
         self._requests: dict[int, Request] = {}
 
         # one compiled single-seq prefill per prompt bucket
@@ -471,6 +480,8 @@ class Scheduler:
             return
         if self.spec:
             return self._spec_round()
+        if self.multi_step > 1:
+            return self._multi_step_round()
         logits, self.cache = self._decode(
             self._decode_params, jnp.asarray(self.cur_tokens), self.cache
         )
@@ -536,6 +547,39 @@ class Scheduler:
         )
         # the draft consumed [cur, d_1..d_k]; resync to the target's view
         self.dcache = self.dcache._replace(
+            lengths=jnp.asarray(new_len, jnp.int32)
+        )
+
+    def _multi_step_round(self):
+        """multi_step greedy decode steps as one device-resident program
+        (engine.decode_steps): the host round trip leaves the per-token
+        path; tokens a slot produced past its EOS/budget are dropped and
+        its lengths rolled back (same rollback discipline as the
+        speculative round)."""
+        m = self.multi_step
+        old_len = np.asarray(self.cache.lengths).copy()
+        toks, self.cache = engine.decode_steps(
+            self.cfg, self._decode_params, jnp.asarray(self.cur_tokens),
+            self.cache, n_steps=m, n_splits=self.n_splits,
+            interpret=self.interpret,
+        )
+        toks = np.asarray(toks)
+        new_len = old_len.copy()
+        for i, req in enumerate(self.slots):
+            if req is None:
+                new_len[i] = 0  # empty slot: undo the window's advance
+                continue
+            committed = 0
+            for j in range(m):
+                committed += 1
+                tok = int(toks[i, j])
+                req.generated.append(tok)
+                self.cur_tokens[i] = tok
+                self._on_token(i, tok)
+                if self.slots[i] is None:
+                    break  # retired mid-window; drop the rest
+            new_len[i] = 0 if self.slots[i] is None else old_len[i] + committed
+        self.cache = self.cache._replace(
             lengths=jnp.asarray(new_len, jnp.int32)
         )
 

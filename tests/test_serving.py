@@ -375,3 +375,50 @@ def test_scheduler_speculative_eos():
     rout = ref.run()
     assert out[u] == rout[ru]
     assert out[u][-1] == eos and len(out[u]) <= 8
+
+
+def test_scheduler_multi_step_matches_plain():
+    """multi_step decode windows (device-resident scan) must produce
+    exactly the plain scheduler's tokens, with EOS/budget retirement
+    mid-window dropping the window's tail."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(11)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (6, 11, 4)
+    ]
+    ms = Scheduler(CFG, params, max_batch=2, max_len=64, multi_step=3)
+    uids = [ms.submit(p, max_new_tokens=7) for p in prompts]  # 7 % 3 != 0
+    out = ms.run()
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64)
+    ruids = [ref.submit(p, max_new_tokens=7) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
+
+
+def test_decode_steps_matches_sequential():
+    """engine.decode_steps == n sequential decode_step calls."""
+    from flashattention_kernel_project_tpu.models import engine
+
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(12), (2, 8), 0, CFG.vocab_size)
+    cache = engine.init_cache(CFG, 2, 32)
+    logits, cache = engine.prefill(CFG, params, prompt, cache)
+    cur = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    toks, c_scan = engine.decode_steps(CFG, params, cur, cache, n_steps=4)
+    ref_cur, c_ref, ref_toks = cur, cache, []
+    for _ in range(4):
+        lg, c_ref = engine.decode_step(CFG, params, ref_cur, c_ref)
+        ref_cur = jnp.argmax(lg, -1).astype(jnp.int32)
+        ref_toks.append(np.asarray(ref_cur))
+    np.testing.assert_array_equal(np.asarray(toks), np.stack(ref_toks, 1))
+    np.testing.assert_array_equal(
+        np.asarray(c_scan.lengths), np.asarray(c_ref.lengths)
+    )
+    for l in range(CFG.n_layers):
+        np.testing.assert_allclose(
+            np.asarray(c_scan.k[l]), np.asarray(c_ref.k[l]), atol=1e-6
+        )
