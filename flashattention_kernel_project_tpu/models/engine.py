@@ -339,27 +339,37 @@ def fuse_decode_params(cfg: tfm.TransformerConfig, params: dict) -> dict:
     }
 
 
-def quantize_decode_params(cfg: tfm.TransformerConfig, params: dict) -> dict:
-    """INT8 weight-only decode params (apply AFTER fuse_decode_params).
+def quantize_decode_params(
+    cfg: tfm.TransformerConfig, params: dict, fmt: str = "int8"
+) -> dict:
+    """8-bit weight-only decode params (apply AFTER fuse_decode_params).
 
     Decode at small batch is weight-streaming-bound (the whole layer weight
-    crosses HBM per step for ~8 activation rows), so int8 storage halves the
-    dominant bandwidth term; dequant happens in the matmul epilogue
-    (ops.quant.matmul_int8_weights), never in HBM. Per-output-column scales.
-    Embedding/logits and the tiny RMS vectors stay at full precision.
+    crosses HBM per step for ~8 activation rows), so 8-bit storage halves
+    the dominant bandwidth term; dequant happens in the matmul epilogue
+    (the s8/f8 -> bf16 convert fuses into the operand read), never in HBM.
+    fmt: "int8" (symmetric absmax) or "fp8" (e4m3 + scale headroom) —
+    same layout, per-output-column scales either way. Embedding/logits and
+    the tiny RMS vectors stay at full precision.
     """
+    from flashattention_kernel_project_tpu.ops.quant import (
+        quantize_fp8_tokenwise,
+    )
+
+    assert fmt in ("int8", "fp8"), fmt
+    quantizer = quantize_int8 if fmt == "int8" else quantize_fp8_tokenwise
     L = params["layers"]
     qlayers = {"rms_attn": L["rms_attn"], "rms_mlp": L["rms_mlp"]}
     for name in ("wqkv", "wo", "w_gate_up", "w_down"):
         w = L[name]  # [layers, K, N]
-        w_q, w_s = jax.vmap(lambda wi: quantize_int8(wi, axis=0))(w)
+        w_q, w_s = jax.vmap(lambda wi: quantizer(wi, axis=0))(w)
         qlayers[name + "_q"] = w_q
         qlayers[name + "_s"] = w_s  # [layers, 1, N] f32
     # lm_head (x @ embed.T) is the single largest weight stream of a decode
     # step (vocab x d_model); per-vocab-row scales. The embedding GATHER
     # keeps the full-precision table (it reads one row per token, not the
     # whole matrix — quantizing it would save nothing and cost accuracy).
-    head_q, head_s = quantize_int8(params["embed"], axis=-1)
+    head_q, head_s = quantizer(params["embed"], axis=-1)
     return {
         "embed": params["embed"],
         "lm_head_q": head_q,            # [vocab, d] int8

@@ -87,6 +87,10 @@ class Scheduler:
         draft_params: dict | None = None,
         spec_k: int = 4,
         multi_step: int = 1,
+        temperature: float = 0.0,
+        top_k: int | None = None,
+        top_p: float | None = None,
+        key=None,
         interpret: bool | None = None,
     ):
         self.cfg = cfg
@@ -99,6 +103,15 @@ class Scheduler:
         self.mesh = mesh
         self.paged = paged
         self.interpret = interpret
+        # per-scheduler sampling (temperature/top-k/nucleus). Greedy when
+        # temperature == 0 or no key. Deterministic given the key: each
+        # sample folds in a monotonically increasing step counter.
+        self.temperature = temperature
+        self.top_k = top_k
+        self.top_p = top_p
+        self._key = key
+        self._sample_step = 0
+        self.sampling = temperature > 0.0 and key is not None
         if paged and mesh is not None:
             raise NotImplementedError("paged + mesh TP not wired yet")
         if paged:
@@ -148,6 +161,11 @@ class Scheduler:
             if paged or mesh is not None:
                 raise NotImplementedError(
                     "speculative decoding: linear single-mesh backend only"
+                )
+            if self.sampling:
+                raise NotImplementedError(
+                    "in-batch speculative decoding is greedy-only; use "
+                    "engine.speculative_generate for rejection sampling"
                 )
             assert draft_cfg.vocab_size == cfg.vocab_size
             self.draft_cfg = draft_cfg
@@ -208,9 +226,9 @@ class Scheduler:
         # at admission
         self.multi_step = multi_step
         if multi_step > 1:
-            if self.spec or paged or mesh is not None:
+            if self.spec or paged or mesh is not None or self.sampling:
                 raise NotImplementedError(
-                    "multi_step: plain linear backend only"
+                    "multi_step: plain greedy linear backend only"
                 )
         reserve = spec_k + 1 if self.spec else (
             multi_step if multi_step > 1 else 0
@@ -339,7 +357,7 @@ class Scheduler:
                 slot, dcache1, tb, t, into=self.dcache
             )
         self.slots[slot] = req
-        first = int(np.argmax(np.asarray(logits)[0]))
+        first = int(np.asarray(self._pick(jnp.asarray(logits)))[0])
         self.cur_tokens[slot] = first
         req.generated.append(first)
         req.t_first_token = time.perf_counter()
@@ -485,7 +503,7 @@ class Scheduler:
         logits, self.cache = self._decode(
             self._decode_params, jnp.asarray(self.cur_tokens), self.cache
         )
-        nxt = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        nxt = np.asarray(self._pick(logits), np.int32)
         for i, req in enumerate(self.slots):
             if req is None:
                 continue
@@ -581,6 +599,16 @@ class Scheduler:
             new_len[i] = 0 if self.slots[i] is None else old_len[i] + committed
         self.cache = self.cache._replace(
             lengths=jnp.asarray(new_len, jnp.int32)
+        )
+
+    def _pick(self, logits):
+        """Greedy or temperature/top-k/top-p next-token choice [B,V]->[B]."""
+        if not self.sampling:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        self._sample_step += 1
+        return engine._sample(
+            logits, self.temperature, self._key, self._sample_step,
+            self.top_k, self.top_p,
         )
 
     def _on_token(self, slot: int, token: int):

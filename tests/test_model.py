@@ -364,3 +364,23 @@ def test_extend_ragged_n_matches_exact_prefill(params):
                 np.asarray(ref_cache.k[l][0, :, :total]),
                 2e-5,
             )
+
+
+def test_fp8_weight_decode_close_to_fp(params):
+    """fp8(e4m3) weight-only decode params track full precision like the
+    int8 path (same fused-dequant epilogue, fp8 storage)."""
+    prompt = jax.random.randint(jax.random.PRNGKey(40), (2, 8), 0, CFG.vocab_size)
+    cache = models.init_cache(CFG, 2, 32)
+    logits, cache = models.prefill(CFG, params, prompt, cache)
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    fused = models.fuse_decode_params(CFG, params)
+    q8 = models.quantize_decode_params(CFG, fused, fmt="fp8")
+    assert q8["layers"]["wqkv_q"].dtype == jnp.float8_e4m3fn
+    lf, _ = models.decode_step(CFG, fused, nxt, cache)
+    lq, _ = models.decode_step(CFG, q8, nxt, cache)
+    # e4m3's 3-bit mantissa is coarser than int8-with-per-column-scale
+    # (~6% vs ~0.8% weight error) — the logits gate reflects that
+    assert_rel_l2(lq, np.asarray(lf), tol=1.2e-1)
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(lq), -1), np.argmax(np.asarray(lf), -1)
+    )

@@ -422,3 +422,33 @@ def test_decode_steps_matches_sequential():
         np.testing.assert_allclose(
             np.asarray(c_scan.k[l]), np.asarray(c_ref.k[l]), atol=1e-6
         )
+
+
+def test_scheduler_sampling_deterministic_and_valid():
+    """temperature sampling in the batch loop: deterministic given the
+    key, valid token range, and temperature ~0 equals greedy."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(12)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (6, 9)
+    ]
+
+    def run(key, temp):
+        s = Scheduler(
+            CFG, params, max_batch=2, max_len=64,
+            temperature=temp, top_k=8, key=key,
+        )
+        uids = [s.submit(p, max_new_tokens=5) for p in prompts]
+        return [s.run()[u] for u in uids]
+
+    a = run(jax.random.PRNGKey(7), 0.9)
+    b = run(jax.random.PRNGKey(7), 0.9)
+    assert a == b
+    assert all(0 <= t < CFG.vocab_size for seq in a for t in seq)
+
+    lo = run(jax.random.PRNGKey(7), 1e-4)  # ~greedy
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64)
+    ruids = [ref.submit(p, max_new_tokens=5) for p in prompts]
+    rout = ref.run()
+    assert lo == [rout[u] for u in ruids]
