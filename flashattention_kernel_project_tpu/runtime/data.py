@@ -43,7 +43,8 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        so = _SO if os.path.exists(_SO) else _build()
+        stale = os.path.exists(_SO) and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        so = _SO if os.path.exists(_SO) and not stale else _build()
         if so is None:
             return None
         lib = ctypes.CDLL(so)
@@ -52,6 +53,10 @@ def _load():
             ctypes.c_char_p, i64, i64, u64, i32, i32,
         ]
         lib.dl_open.restype = ctypes.c_void_p
+        lib.dl_open_region.argtypes = [
+            ctypes.c_char_p, i64, i64, u64, i32, i32, i64, i64,
+        ]
+        lib.dl_open_region.restype = ctypes.c_void_p
         lib.dl_next.argtypes = [
             ctypes.c_void_p,
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
@@ -77,6 +82,10 @@ class TokenLoader:
     mode forces a single prefetch worker, since multiple workers would race
     on the cursor and deliver batches out of file order. Use
     `inputs, labels = batch[:, :-1], batch[:, 1:]`.
+
+    shard=(rank, world) gives each data-parallel host a DISJOINT
+    contiguous region of the token file (crops never cross regions), so
+    multi-host training reads distinct data without coordination.
     """
 
     def __init__(
@@ -88,20 +97,33 @@ class TokenLoader:
         seed: int = 0,
         n_threads: int = 2,
         shuffle: bool = True,
+        shard: tuple[int, int] = (0, 1),
         native: bool | None = None,
     ):
         self.path = path
         self.batch = batch
         self.seq_len = seq_len
         self._handle = None
+        rank, world = shard
+        assert 0 <= rank < world, shard
+        file_tokens = os.path.getsize(path) // 4
+        lo = rank * file_tokens // world
+        hi = (rank + 1) * file_tokens // world
+        if hi - lo < seq_len + 1:
+            raise OSError(
+                f"{path}: shard {shard} has {hi - lo} tokens < row "
+                f"{seq_len + 1}"
+            )
+        self.shard = shard
         self._lib = _load() if native in (None, True) else None
         if native is True and self._lib is None:
             raise RuntimeError("native dataloader unavailable (no g++?)")
         if self._lib is not None:
             if not shuffle:
                 n_threads = 1  # keep file order deterministic
-            self._handle = self._lib.dl_open(
-                path.encode(), batch, seq_len, seed, n_threads, int(shuffle)
+            self._handle = self._lib.dl_open_region(
+                path.encode(), batch, seq_len, seed + rank, n_threads,
+                int(shuffle), lo, hi,
             )
             if not self._handle:
                 raise OSError(f"dl_open failed for {path}")
@@ -109,11 +131,10 @@ class TokenLoader:
         else:
             self._mm = np.memmap(path, dtype=np.uint32, mode="r")
             self.n_tokens = int(self._mm.shape[0])
-            if self.n_tokens < seq_len + 1:
-                raise OSError(f"{path}: too few tokens ({self.n_tokens})")
-            self._rng = np.random.default_rng(seed)
+            self._rng = np.random.default_rng(seed + rank)
             self._cursor = 0
             self._shuffle = shuffle
+        self._lo, self._hi = lo, hi
 
     @property
     def native(self) -> bool:
@@ -127,13 +148,13 @@ class TokenLoader:
             if rc != 0:
                 raise RuntimeError("dataloader stopped")
             return out
-        last = self.n_tokens - row
+        rng_range = self._hi - row - self._lo + 1
         out = np.empty((self.batch, row), np.uint32)
         for b in range(self.batch):
             if self._shuffle:
-                start = int(self._rng.integers(0, last + 1))
+                start = self._lo + int(self._rng.integers(0, rng_range))
             else:
-                start = self._cursor % (last + 1)
+                start = self._lo + (self._cursor % rng_range)
                 self._cursor += self.seq_len
             out[b] = self._mm[start : start + row]
         return out

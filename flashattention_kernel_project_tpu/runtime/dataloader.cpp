@@ -38,6 +38,7 @@ struct Loader {
   int64_t seq = 0;      // tokens per row EXCLUDING the +1 label overlap
   bool shuffle = true;  // random crops vs sequential epoch walk
   uint64_t seed = 0;
+  int64_t lo = 0, hi = 0;  // crop region [lo, hi) — data-parallel shard
 
   // prefetch machinery
   std::vector<std::thread> workers;
@@ -50,14 +51,14 @@ struct Loader {
 
   void fill(std::vector<uint32_t>& out, std::mt19937_64& rng) {
     const int64_t row = seq + 1;
-    const int64_t last_start = n_tokens - row;  // inclusive
+    const int64_t range = hi - row - lo + 1;  // valid crop starts in shard
     for (int64_t b = 0; b < batch; ++b) {
       int64_t start;
       if (shuffle) {
-        start = static_cast<int64_t>(rng() % static_cast<uint64_t>(last_start + 1));
+        start = lo + static_cast<int64_t>(rng() % static_cast<uint64_t>(range));
       } else {
         start = cursor.fetch_add(seq);  // rows overlap by 1 label token
-        start %= (last_start + 1);
+        start = lo + (start % range);
       }
       std::memcpy(out.data() + b * row, tokens + start,
                   static_cast<size_t>(row) * sizeof(uint32_t));
@@ -82,9 +83,21 @@ struct Loader {
 
 extern "C" {
 
+// Region variant: crops are drawn only from token offsets [lo, hi) — the
+// per-host shard of a data-parallel input pipeline. hi == 0 means EOF.
+void* dl_open_region(const char* path, int64_t batch, int64_t seq,
+                     uint64_t seed, int32_t n_threads, int32_t shuffle,
+                     int64_t lo, int64_t hi);
+
 // Returns an opaque handle (heap pointer) or nullptr on failure.
 void* dl_open(const char* path, int64_t batch, int64_t seq, uint64_t seed,
               int32_t n_threads, int32_t shuffle) {
+  return dl_open_region(path, batch, seq, seed, n_threads, shuffle, 0, 0);
+}
+
+void* dl_open_region(const char* path, int64_t batch, int64_t seq,
+                     uint64_t seed, int32_t n_threads, int32_t shuffle,
+                     int64_t lo, int64_t hi) {
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) return nullptr;
   struct stat st;
@@ -106,6 +119,14 @@ void* dl_open(const char* path, int64_t batch, int64_t seq, uint64_t seed,
   ld->seq = seq;
   ld->seed = seed;
   ld->shuffle = shuffle != 0;
+  ld->lo = lo;
+  ld->hi = (hi <= 0 || hi > ld->n_tokens) ? ld->n_tokens : hi;
+  if (ld->lo < 0 || ld->hi - ld->lo < seq + 1) {
+    munmap(const_cast<uint32_t*>(ld->tokens), ld->map_bytes);
+    ::close(fd);
+    delete ld;
+    return nullptr;
+  }
   if (n_threads < 1) n_threads = 1;
   ld->max_ready = static_cast<size_t>(2 * n_threads);
   for (int32_t i = 0; i < n_threads; ++i) {

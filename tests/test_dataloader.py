@@ -77,3 +77,34 @@ def test_loader_rejects_tiny_file(tmp_path):
     write_token_file(path, np.arange(8, dtype=np.uint32))
     with pytest.raises(OSError):
         TokenLoader(path, batch=1, seq_len=64, native=False)
+
+
+@pytest.mark.parametrize("native", _backends())
+def test_loader_shard_disjoint(tmp_path, native):
+    """shard=(rank, world): every crop stays inside the rank's region of
+    the file, so data-parallel hosts read disjoint data."""
+    path = str(tmp_path / "tok.bin")
+    # token value == its file offset, so crops reveal their positions
+    write_token_file(path, np.arange(4000, dtype=np.uint32))
+    world = 4
+    seen = []
+    for rank in range(world):
+        with TokenLoader(
+            path, batch=4, seq_len=32, seed=3, shard=(rank, world),
+            native=native,
+        ) as dl:
+            lo, hi = rank * 1000, (rank + 1) * 1000
+            vals = np.concatenate([dl.next_batch().ravel() for _ in range(8)])
+            assert vals.min() >= lo and vals.max() < hi, (rank, vals.min(), vals.max())
+            seen.append(set(vals.tolist()))
+    # neighbouring shards must not leak into each other
+    for a in range(world):
+        for b in range(a + 1, world):
+            assert not (seen[a] & seen[b])
+
+
+def test_loader_shard_too_small(tmp_path):
+    path = str(tmp_path / "tok2.bin")
+    write_token_file(path, np.arange(100, dtype=np.uint32))
+    with pytest.raises(OSError):
+        TokenLoader(path, batch=1, seq_len=60, shard=(0, 2))
