@@ -94,6 +94,39 @@ def main():
     )
     print("sampled tail:", np.asarray(sampled)[0, 32:].tolist())
 
+    # --- production serving loop: continuous batching over the paged-pool
+    # KV backend with automatic prefix caching and chunked prefill — four
+    # requests sharing a prompt prefix, two slots, mixed lengths
+    from flashattention_kernel_project_tpu.models.serving import Scheduler
+
+    sched = Scheduler(
+        cfg, restored, max_batch=2, max_len=256,
+        paged=True, page_size=32, prefix_cache=True, prefill_chunk=64,
+    )
+    uids = [
+        sched.submit(corpus[: 64 + 7 * i], max_new_tokens=12)
+        for i in range(4)
+    ]
+    outs = sched.run()
+    print("scheduler (paged + prefix cache + chunked prefill):",
+          sched.metrics())
+    assert all(len(outs[u]) == 12 for u in uids)
+
+    # --- speculative decoding: a 1-layer draft accelerates the 2-layer
+    # target; committed tokens are exactly the target's greedy stream
+    import dataclasses
+
+    draft_cfg = dataclasses.replace(cfg, n_layers=1, d_ff=128)
+    draft_params = models.init_params(draft_cfg, jax.random.PRNGKey(7))
+    spec = Scheduler(
+        cfg, restored, max_batch=2, max_len=256,
+        draft_cfg=draft_cfg, draft_params=draft_params, spec_k=4,
+    )
+    su = [spec.submit(corpus[:32], max_new_tokens=12) for _ in range(2)]
+    souts = spec.run()
+    assert souts[su[0]] == souts[su[1]]
+    print("speculative scheduler:", spec.metrics())
+
 
 if __name__ == "__main__":
     main()
