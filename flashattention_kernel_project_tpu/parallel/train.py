@@ -22,17 +22,19 @@ from flashattention_kernel_project_tpu.models import transformer as tfm
 from flashattention_kernel_project_tpu.ops.flash_attention import flash_attention
 
 
-def _tp_forward(cfg, params, tokens, *, model_axis, interpret=None):
+def _tp_forward(cfg, params, tokens, *, model_axis, interpret=None,
+                remat=False):
     """Local-shard forward. Head counts come from the *local* array shapes
-    (wq arrives column-sliced under shard_map)."""
+    (wq arrives column-sliced under shard_map). remat=True checkpoints each
+    layer: activations are recomputed in the backward instead of stored —
+    O(1) layers' worth of residuals instead of O(n_layers), the standard
+    memory/FLOPs trade for long sequences."""
     b, n = tokens.shape
     x = params["embed"][tokens]
     positions = jnp.arange(n)[None, :]
     sin, cos = tfm.rope_tables(cfg, positions)
 
-    n_layers = params["layers"]["wq"].shape[0]
-    for i in range(n_layers):
-        layer = jax.tree.map(lambda p: p[i], params["layers"])
+    def layer_fn(x, layer):
         hq_local = layer["wq"].shape[-1] // cfg.d_head
         hkv_local = layer["wk"].shape[-1] // cfg.d_head
 
@@ -57,15 +59,24 @@ def _tp_forward(cfg, params, tokens, *, model_axis, interpret=None):
 
         h2 = tfm.rms_norm(x, layer["rms_mlp"])
         gated = jax.nn.silu(h2 @ layer["w_gate"]) * (h2 @ layer["w_up"])
-        x = x + jax.lax.psum(gated @ layer["w_down"], model_axis)
+        return x + jax.lax.psum(gated @ layer["w_down"], model_axis)
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    n_layers = params["layers"]["wq"].shape[0]
+    for i in range(n_layers):
+        layer = jax.tree.map(lambda p: p[i], params["layers"])
+        x = layer_fn(x, layer)
 
     x = tfm.rms_norm(x, params["rms_final"])
     return (x @ params["embed"].T).astype(jnp.float32)
 
 
-def _tp_loss(cfg, params, tokens, *, model_axis, interpret=None):
+def _tp_loss(cfg, params, tokens, *, model_axis, interpret=None,
+             remat=False):
     logits = _tp_forward(
-        cfg, params, tokens, model_axis=model_axis, interpret=interpret
+        cfg, params, tokens, model_axis=model_axis, interpret=interpret,
+        remat=remat,
     )
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
@@ -81,8 +92,10 @@ def make_train_step(
     data_axis: str = "data",
     model_axis: str = "model",
     interpret: bool | None = None,
+    remat: bool = False,
 ):
-    """Build the jitted DP x TP train step.
+    """Build the jitted DP x TP train step. remat=True checkpoints each
+    layer (recompute-in-backward; O(1) residual memory).
 
     Returns (step_fn(params, tokens) -> (new_params, loss), param_specs).
     `params` must be laid out per param_specs (parallel.mesh.shard_params).
@@ -97,7 +110,8 @@ def make_train_step(
     def step(params, tokens):
         loss, grads = jax.value_and_grad(
             functools.partial(
-                _tp_loss, cfg, model_axis=model_axis, interpret=interpret
+                _tp_loss, cfg, model_axis=model_axis, interpret=interpret,
+                remat=remat,
             )
         )(params, tokens)
         # DP: average grads + loss over the data axis.
@@ -301,6 +315,7 @@ def make_optax_train_step(
     data_axis: str = "data",
     model_axis: str = "model",
     interpret: bool | None = None,
+    remat: bool = False,
 ):
     """DP x TP train step driven by an optax optimizer (e.g.
     optax.adamw(3e-4)). `params` is the (global, unsharded or abstract)
@@ -342,7 +357,8 @@ def make_optax_train_step(
     def step(params, opt_state, tokens):
         loss, grads = jax.value_and_grad(
             functools.partial(
-                _tp_loss, cfg, model_axis=model_axis, interpret=interpret
+                _tp_loss, cfg, model_axis=model_axis, interpret=interpret,
+                remat=remat,
             )
         )(params, tokens)
         grads = jax.tree.map(lambda g: jax.lax.pmean(g, data_axis), grads)

@@ -163,3 +163,19 @@ def test_optax_momentum_step_matches_single_device_exactly():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4
         )
+
+
+def test_tp_remat_matches_no_remat():
+    """jax.checkpoint per layer must not change the numerics — only the
+    backward's memory/FLOPs trade."""
+    params = models.init_params(CFG, jax.random.PRNGKey(8))
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (4, 32), 0, CFG.vocab_size)
+    mesh = parallel.make_mesh({"data": 2, "model": 4})
+    step_a, rules = parallel.make_train_step(CFG, mesh, lr=1e-2, remat=False)
+    step_b, _ = parallel.make_train_step(CFG, mesh, lr=1e-2, remat=True)
+    p = parallel.shard_params(params, mesh, rules)
+    pa, la = step_a(p, tokens)
+    pb, lb = step_b(p, tokens)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
