@@ -861,7 +861,9 @@ def cache_from_pages(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("interpret",))
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("interpret", "axis")
+)
 def decode_step_paged(
     cfg: tfm.TransformerConfig,
     params: dict,
@@ -869,9 +871,12 @@ def decode_step_paged(
     cache: PagedKVCache,
     *,
     interpret: bool | None = None,
+    axis: str | None = None,
 ) -> tuple[jax.Array, PagedKVCache]:
     """One decode step against the paged cache. tokens [B] -> (logits, cache).
-    Slots with length 0 are masked out (zero attention output)."""
+    Slots with length 0 are masked out (zero attention output).
+    axis: tensor-parallel mesh axis (see decode_step) — the page pools are
+    then head-sharded and cfg is the LOCAL config."""
     from flashattention_kernel_project_tpu.ops.paged_decode import (
         paged_append,
         paged_append_quant,
@@ -917,8 +922,10 @@ def decode_step_paged(
                 cache.block_tables, new_lengths,
                 interpret=interpret,
             )
-        x = x + _proj(o.reshape(b, 1, cfg.q_dim), layer, "wo", x.dtype)
-        x = _mlp(layer, x)
+        x = x + _psum(
+            _proj(o.reshape(b, 1, cfg.q_dim), layer, "wo", x.dtype), axis
+        )
+        x = _mlp(layer, x, axis)
     x = tfm.rms_norm(x, params["rms_final"])
     logits = _lm_head(params, x[:, 0])
     return logits, PagedKVCache(

@@ -112,8 +112,6 @@ class Scheduler:
         self._key = key
         self._sample_step = 0
         self.sampling = temperature > 0.0 and key is not None
-        if paged and mesh is not None:
-            raise NotImplementedError("paged + mesh TP not wired yet")
         if paged:
             # vLLM-style backend: a shared page pool replaces the per-slot
             # max_len reservation. Pages are allocated at insert for the
@@ -131,11 +129,23 @@ class Scheduler:
             self._page = page_size
             self._pages_per_seq = -(-max_len // page_size)
             self._n_pages = n_pages or (max_batch * self._pages_per_seq + 1)
-            self.cache = engine.init_paged_cache(
-                cfg, max_batch, self._n_pages, page_size=page_size,
-                max_pages_per_seq=self._pages_per_seq,
-                quantized=quantized_cache,
-            )
+            if mesh is not None:
+                from flashattention_kernel_project_tpu.parallel import (
+                    tp_engine,
+                )
+
+                self.cache = tp_engine.init_tp_paged_cache(
+                    cfg, mesh, max_batch, self._n_pages,
+                    page_size=page_size,
+                    max_pages_per_seq=self._pages_per_seq,
+                    quantized=quantized_cache, model_axis=model_axis,
+                )
+            else:
+                self.cache = engine.init_paged_cache(
+                    cfg, max_batch, self._n_pages, page_size=page_size,
+                    max_pages_per_seq=self._pages_per_seq,
+                    quantized=quantized_cache,
+                )
             self._pool = PagePool(self._n_pages)
             self._slot_pages: list[list[int]] = [[] for _ in range(max_batch)]
             # automatic prefix caching (vLLM-style): full prompt pages are
@@ -193,14 +203,18 @@ class Scheduler:
                 quantized_cache=quantized_cache, interpret=interpret,
             )
             self.params = shard_params(params, mesh, rules)
-            self.cache = tp_engine.init_tp_cache(
-                cfg, mesh, max_batch, max_len, quantized=quantized_cache,
-                model_axis=model_axis,
-            )
+            if not paged:
+                self.cache = tp_engine.init_tp_cache(
+                    cfg, mesh, max_batch, max_len,
+                    quantized=quantized_cache, model_axis=model_axis,
+                )
             self._tp_extend = ef
+            # paged mode prefills full-precision; the page scatter owns
+            # the quantization (same rule as the single-device path)
             self._init_cache1 = functools.partial(
                 tp_engine.init_tp_cache, cfg, mesh,
-                quantized=quantized_cache, model_axis=model_axis,
+                quantized=quantized_cache and not paged,
+                model_axis=model_axis,
             )
         else:
             if not paged:
@@ -242,7 +256,18 @@ class Scheduler:
         )
         if mesh is not None:
             self._decode_params = self.params  # sharded split layout
-            self._decode = lambda p, toks, cache: df(p, toks, cache)
+            if paged:
+                from flashattention_kernel_project_tpu.parallel import (
+                    tp_engine,
+                )
+
+                dfp = tp_engine.make_tp_paged_decode(
+                    cfg, mesh, model_axis=model_axis,
+                    quantized_cache=quantized_cache, interpret=interpret,
+                )
+                self._decode = lambda p, toks, cache: dfp(p, toks, cache)
+            else:
+                self._decode = lambda p, toks, cache: df(p, toks, cache)
         elif paged:
             self._decode_params = engine.fuse_decode_params(cfg, params)
             self._decode = functools.partial(

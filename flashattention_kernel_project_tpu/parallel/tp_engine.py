@@ -71,6 +71,72 @@ def init_tp_cache(
     )
 
 
+def paged_cache_specs(
+    quantized: bool, n_layers: int, model_axis: str = "model"
+):
+    """PartitionSpec pytree for a head-sharded engine.PagedKVCache: page
+    pools sharded over KV heads, block tables and lengths replicated."""
+    pool = tuple(P(None, model_axis, None, None) for _ in range(n_layers))
+    scale = pool if quantized else None
+    return engine.PagedKVCache(
+        k_pages=pool, v_pages=pool, block_tables=P(), lengths=P(),
+        k_scale_pages=scale, v_scale_pages=scale,
+    )
+
+
+def init_tp_paged_cache(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    batch: int,
+    n_pages: int,
+    *,
+    page_size: int = 128,
+    max_pages_per_seq: int = 16,
+    quantized: bool = False,
+    model_axis: str = "model",
+) -> engine.PagedKVCache:
+    """Allocate the page pools laid out head-sharded over the mesh."""
+    cache = engine.init_paged_cache(
+        cfg, batch, n_pages, page_size=page_size,
+        max_pages_per_seq=max_pages_per_seq, quantized=quantized,
+    )
+    specs = paged_cache_specs(quantized, cfg.n_layers, model_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
+def make_tp_paged_decode(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    *,
+    model_axis: str = "model",
+    quantized_cache: bool = False,
+    interpret: bool | None = None,
+):
+    """shard_map-wrapped decode_step_paged over head-sharded page pools.
+    Returns decode_fn(params, tokens[B], cache) -> (logits, cache); params
+    per tfm.param_shardings (split layout), cache per init_tp_paged_cache.
+    The page SCATTER side (engine.paged_insert) runs outside shard_map —
+    its per-page dynamic updates touch only the page axis, so GSPMD keeps
+    the head sharding intact."""
+    tp = mesh.shape[model_axis]
+    lcfg = local_config(cfg, tp)
+    rules = tfm.param_shardings(cfg, model_axis=model_axis)
+    cspecs = paged_cache_specs(quantized_cache, cfg.n_layers, model_axis)
+
+    def _decode(params, tokens, cache):
+        return engine.decode_step_paged(
+            lcfg, params, tokens, cache, interpret=interpret,
+            axis=model_axis,
+        )
+
+    return jax.jit(shard_map(
+        _decode, mesh=mesh, check_vma=False,
+        in_specs=(rules, P(), cspecs), out_specs=(P(), cspecs),
+    ))
+
+
 def make_tp_engine(
     cfg: tfm.TransformerConfig,
     mesh: Mesh,

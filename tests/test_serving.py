@@ -452,3 +452,39 @@ def test_scheduler_sampling_deterministic_and_valid():
     ruids = [ref.submit(p, max_new_tokens=5) for p in prompts]
     rout = ref.run()
     assert lo == [rout[u] for u in ruids]
+
+
+def test_scheduler_tp_paged_prefix_matches_single_device():
+    """The full stack at once: TP mesh x paged pool x prefix cache x
+    chunked prefill — tokens must equal the single-device paged scheduler."""
+    from flashattention_kernel_project_tpu import parallel
+
+    cfg = models.TransformerConfig(
+        vocab_size=64, d_model=32, n_layers=2, n_heads=8, n_kv_heads=4,
+        d_head=16, d_ff=64, dtype=jnp.float32, block_q=16, block_k=16,
+    )
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    mesh = parallel.make_mesh({"model": 4}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, cfg.vocab_size, size=32).astype(np.int32)
+    prompts = [
+        np.concatenate([base, rng.integers(0, cfg.vocab_size, size=e).astype(np.int32)])
+        for e in (3, 6, 2)
+    ]
+    tp = Scheduler(
+        cfg, params, max_batch=2, max_len=96, mesh=mesh,
+        paged=True, page_size=16, prefix_cache=True, prefill_chunk=16,
+        interpret=True,
+    )
+    uids = [tp.submit(p, max_new_tokens=4) for p in prompts]
+    out = tp.run()
+
+    ref = Scheduler(
+        cfg, params, max_batch=2, max_len=96, paged=True, page_size=16,
+        interpret=True,
+    )
+    ruids = [ref.submit(p, max_new_tokens=4) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
+    assert tp._pool.free_pages == tp._n_pages - 1
