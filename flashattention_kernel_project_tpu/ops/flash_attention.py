@@ -1437,7 +1437,7 @@ def flash_attention_kv_quant(
 def flash_attention_kv_quant_with_lse(
     q, k_q, k_scale, v_q, v_scale, *, causal=False, sm_scale=None,
     q_offset=0, block_q=DEFAULT_BLOCK_Q, block_k=DEFAULT_BLOCK_K,
-    interpret=None, stable=True,
+    interpret=None, stable=True, window=None, sinks=0,
 ):
     """flash_attention_kv_quant that also returns logsumexp [b, hq, n] —
     the merge carry for ring/context-parallel attention over 8-bit KV
@@ -1445,4 +1445,5 @@ def flash_attention_kv_quant_with_lse(
     return _fwd(
         q, k_q, v_q, causal, sm_scale, q_offset, block_q, block_k,
         interpret, stable=stable, k_scale=k_scale, v_scale=v_scale,
+        window=window, sinks=sinks,
     )

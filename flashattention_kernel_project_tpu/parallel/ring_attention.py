@@ -44,11 +44,22 @@ def merge_normalized(o_a, lse_a, o_b, lse_b):
     return o_a * wa + o_b * wb, lse
 
 
-def _make_ring(mesh, attend, n_kv, *, causal, seq_axis, data_axis):
-    """Shared ring driver: `attend(q, kv_tuple, local_causal)` runs the local
-    fused kernel and returns (o_f32, lse); `kv_tuple` is any pytree of
-    n_kv sequence-sharded arrays that rotates around the ppermute ring as
-    one unit (bf16 K/V, or 8-bit values + per-token scales)."""
+def _make_ring(mesh, attend, n_kv, *, causal, seq_axis, data_axis,
+               window=None):
+    """Shared ring driver: `attend(q, kv_tuple, local_causal, q_offset,
+    window)` runs the local fused kernel and returns (o_f32, lse);
+    `kv_tuple` is any pytree of n_kv sequence-sharded arrays that rotates
+    around the ppermute ring as one unit (bf16 K/V, or 8-bit values +
+    per-token scales).
+
+    window: sliding-window attention (requires causal). A shard t hops
+    back carries keys at distance >= (t-1)*S_loc + 1 from every local
+    query, so the ring TRUNCATES at t_max = (window-2)//S_loc + 1 —
+    out-of-window shards are neither rotated nor attended (at 32K over 8
+    chips with a 4K window that is 1 hop instead of 7). In-window
+    off-diagonal shards run causal with q_offset = t*S_loc, which makes
+    the kernel's own band mask the global-position window."""
+    assert window is None or causal, "sliding window implies causality"
     n_ring = mesh.shape[seq_axis]
     b_axis = data_axis if (data_axis and data_axis in mesh.axis_names) else None
     spec = P(b_axis, None, seq_axis, None)
@@ -58,10 +69,16 @@ def _make_ring(mesh, attend, n_kv, *, causal, seq_axis, data_axis):
         perm = [(d, (d + 1) % n_ring) for d in range(n_ring)]
 
         # Step 0: the diagonal shard — local causal (or plain) attention.
-        o, lse = attend(q, kv, local_causal=causal)
+        o, lse = attend(q, kv, local_causal=causal, q_offset=0,
+                        window=window)
+
+        s_loc = kv[0].shape[2]
+        depth = n_ring
+        if window is not None:
+            depth = min(n_ring, (max(window - 2, 0)) // s_loc + 2)
 
         dv = kv[-2].shape[-1] if n_kv == 4 else kv[-1].shape[-1]
-        for t in range(1, n_ring):
+        for t in range(1, depth):
             # rotate first so the ICI hop overlaps the local compute below
             kv_next = jax.lax.ppermute(kv, seq_axis, perm)
 
@@ -69,8 +86,11 @@ def _make_ring(mesh, attend, n_kv, *, causal, seq_axis, data_axis):
                 # shard j = idx - t (mod n_ring) is strictly below the
                 # diagonal only when idx >= t; wrapped shards are future
                 # tokens and contribute nothing.
-                def _attend(q=q, kv_next=kv_next):
-                    return attend(q, kv_next, local_causal=False)
+                def _attend(q=q, kv_next=kv_next, t=t):
+                    return attend(
+                        q, kv_next, local_causal=False,
+                        q_offset=t * s_loc, window=window,
+                    )
 
                 def _skip(q=q):
                     return (
@@ -80,7 +100,9 @@ def _make_ring(mesh, attend, n_kv, *, causal, seq_axis, data_axis):
 
                 o_t, lse_t = jax.lax.cond(idx >= t, _attend, _skip)
             else:
-                o_t, lse_t = attend(q, kv_next, local_causal=False)
+                o_t, lse_t = attend(
+                    q, kv_next, local_causal=False, q_offset=0, window=None
+                )
 
             o, lse = merge_normalized(o, lse, o_t, lse_t)
             kv = kv_next
@@ -102,6 +124,7 @@ def ring_attention(
     sm_scale: float | None = None,
     seq_axis: str = "sp",
     data_axis: str | None = "data",
+    window: int | None = None,
     **kernel_kwargs,
 ):
     """Context-parallel attention: q, k, v sequence-sharded over `seq_axis`.
@@ -109,17 +132,24 @@ def ring_attention(
     Returns fn(q[B,H,N,D], k[B,H,S,D], v) -> [B,H,N,Dv] where N and S are
     GLOBAL lengths (shard_map slices them). Requires N and S divisible by the
     ring size. Causal assumes q and kv use the same sequence partition.
+
+    window: sliding-window attention over GLOBAL positions (causal only).
+    Out-of-window shards are skipped AND never rotated — the ring truncates
+    to ceil-ish(window / shard_len) hops (see _make_ring).
     """
 
-    def attend(q, kv, *, local_causal):
+    def attend(q, kv, *, local_causal, q_offset=0, window=None):
         k, v = kv
         o, lse = flash_attention_with_lse(
-            q, k, v, causal=local_causal, sm_scale=sm_scale, **kernel_kwargs,
+            q, k, v, causal=local_causal or window is not None,
+            q_offset=q_offset, window=window, sm_scale=sm_scale,
+            **kernel_kwargs,
         )
         return o.astype(jnp.float32), lse
 
     return _make_ring(
-        mesh, attend, 2, causal=causal, seq_axis=seq_axis, data_axis=data_axis
+        mesh, attend, 2, causal=causal, seq_axis=seq_axis,
+        data_axis=data_axis, window=window,
     )
 
 
@@ -130,6 +160,7 @@ def ring_attention_kv_quant(
     sm_scale: float | None = None,
     seq_axis: str = "sp",
     data_axis: str | None = "data",
+    window: int | None = None,
     **kernel_kwargs,
 ):
     """Ring attention over an 8-bit (int8/fp8) sequence-sharded KV cache.
@@ -148,16 +179,19 @@ def ring_attention_kv_quant(
         flash_attention_kv_quant_with_lse,
     )
 
-    def attend(q, kv, *, local_causal):
+    def attend(q, kv, *, local_causal, q_offset=0, window=None):
         kq, ks, vq, vs = kv
         o, lse = flash_attention_kv_quant_with_lse(
-            q, kq, ks, vq, vs, causal=local_causal, sm_scale=sm_scale,
+            q, kq, ks, vq, vs,
+            causal=local_causal or window is not None,
+            q_offset=q_offset, window=window, sm_scale=sm_scale,
             **kernel_kwargs,
         )
         return o.astype(jnp.float32), lse
 
     return _make_ring(
-        mesh, attend, 4, causal=causal, seq_axis=seq_axis, data_axis=data_axis
+        mesh, attend, 4, causal=causal, seq_axis=seq_axis,
+        data_axis=data_axis, window=window,
     )
 
 

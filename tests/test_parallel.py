@@ -337,3 +337,45 @@ def test_tp_engine_quantized_cache():
     logits, cache = decode_fn(sparams, cur, cache)
     ref_logits, _ = models.decode_step(cfg, params, cur, ref_cache, n_splits=2)
     assert_rel_l2(np.asarray(logits), np.asarray(ref_logits), 1e-4)
+
+
+def test_ring_attention_window(rng):
+    """Sliding-window ring attention: global-position band semantics must
+    match the single-device windowed kernel, with the ring truncated to
+    ceil(window/shard) hops (out-of-window shards never rotate)."""
+    mesh_sp4 = parallel.make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    b, h, d = 1, 2, 32
+    n = 64 * 4  # 4 shards of 64
+    q = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+    for w in (48, 100, 200):  # < shard, spanning 2 shards, spanning 4
+        fn = parallel.ring_attention(
+            mesh_sp4, causal=True, data_axis=None, window=w,
+            block_q=32, block_k=32,
+        )
+        out = fn(q, k, v)
+        ref = ops.flash_attention(
+            q, k, v, causal=True, window=w, block_q=32, block_k=32
+        )
+        assert_rel_l2(np.asarray(out), np.asarray(ref), 1e-5)
+
+
+def test_ring_attention_kv_quant_window(rng):
+    mesh_sp4 = parallel.make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    b, h, d = 1, 2, 32
+    n = 64 * 4
+    q = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, n, d), dtype=np.float32))
+    kq, ks, vq, vs = ops.quantize_kv(k, v)
+    fn = parallel.ring_attention_kv_quant(
+        mesh_sp4, causal=True, data_axis=None, window=100,
+        block_q=32, block_k=32,
+    )
+    out = fn(q, kq, ks, vq, vs)
+    ref = ops.flash_attention_kv_quant(
+        q, kq, ks, vq, vs, causal=True, window=100,
+        block_q=32, block_k=32,
+    )
+    assert_rel_l2(np.asarray(out), np.asarray(ref), 1e-5)
