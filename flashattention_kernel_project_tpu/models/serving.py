@@ -24,6 +24,7 @@ import numpy as np
 from flashattention_kernel_project_tpu.models import engine
 from flashattention_kernel_project_tpu.models import transformer as tfm
 from flashattention_kernel_project_tpu.runtime.native import BatchSchedulerCore
+from flashattention_kernel_project_tpu.utils.health import with_retries
 
 
 @dataclasses.dataclass
@@ -525,8 +526,12 @@ class Scheduler:
             return self._spec_round()
         if self.multi_step > 1:
             return self._multi_step_round()
-        logits, self.cache = self._decode(
-            self._decode_params, jnp.asarray(self.cur_tokens), self.cache
+        # transient device faults (remote worker restarts, observed as
+        # UNAVAILABLE) retry with a cooldown; real errors fail fast
+        # (SURVEY §5.3 — the serving loop is where liveness matters)
+        logits, self.cache = with_retries(
+            self._decode,
+            self._decode_params, jnp.asarray(self.cur_tokens), self.cache,
         )
         nxt = np.asarray(self._pick(logits), np.int32)
         for i, req in enumerate(self.slots):
