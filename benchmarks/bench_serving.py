@@ -16,7 +16,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -65,7 +64,6 @@ def main():
             n_heads=16, n_kv_heads=4, d_head=128, d_ff=5504,
             dtype=jnp.bfloat16, block_q=1024, block_k=1024,
         )
-    import jax
 
     params = models.init_params(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -88,15 +86,13 @@ def main():
             paged=args.backend == "paged",
             multi_step=args.multi_step,
         )
-        uids = [sched.submit(p, max_new_tokens=args.max_new) for p in prompts]
-        t0 = time.perf_counter()
-        out = sched.run()
-        dt = time.perf_counter() - t0
-        toks = sum(len(out[u]) for u in uids)
-        return toks, dt, sched.metrics()
+        for p in prompts:
+            sched.submit(p, max_new_tokens=args.max_new)
+        sched.run()
+        return sched.metrics()
 
     run_once()  # warmup: compiles every bucket/decode program
-    toks, dt, m = run_once()
+    m = run_once()
     print(
         f"serving backend={args.backend} chunk={args.prefill_chunk} "
         f"int8={args.int8} multi_step={args.multi_step}: {m}"

@@ -44,7 +44,6 @@ def main():
 
     import dataclasses
 
-    import jax
     import jax.numpy as jnp
     from flashattention_kernel_project_tpu import models
 

@@ -749,14 +749,17 @@ def _scatter_pages_q(
     quantizer = (
         quantize_int8 if kp.dtype == jnp.int8 else quantize_fp8_tokenwise
     )
-    k_q, k_s = quantizer(k_seq, axis=-1)   # [Hkv, T, D], [Hkv, T, 1]
-    v_q, v_s = quantizer(v_seq, axis=-1)
+    # only rows past the shared prefix are written — don't quantize the
+    # (possibly much longer) prefix just to discard it
+    base = start * page
+    k_q, k_s = quantizer(k_seq[:, base:], axis=-1)  # [Hkv, T-base, D/1]
+    v_q, v_s = quantizer(v_seq[:, base:], axis=-1)
     for j in range(start, n_full):
         lo = j * page
         hi = min(lo + page, length)
         hkv = kp.shape[1]
 
-        def blk(vals, dtype):
+        def blk(vals, dtype, lo=lo - base, hi=hi - base):
             b_ = jnp.zeros((hkv, page, vals.shape[-1]), dtype)
             return b_.at[:, : hi - lo].set(vals[:, lo:hi].astype(dtype))
 
@@ -767,7 +770,7 @@ def _scatter_pages_q(
             vp, blk(v_q, vp.dtype)[None], (table_row[j], 0, 0, 0)
         )
         # scales: [Hkv, hi-lo, 1] -> lane-major [1, Hkv, 1, page]
-        def sblk(scales):
+        def sblk(scales, lo=lo - base, hi=hi - base):
             s_ = jnp.zeros((hkv, 1, page), jnp.float32)
             return s_.at[:, 0, : hi - lo].set(scales[:, lo:hi, 0])
 

@@ -199,7 +199,7 @@ class Scheduler:
                 shard_params, tp_engine,
             )
 
-            pf, ef, df, rules = tp_engine.make_tp_engine(
+            _, ef, df, rules = tp_engine.make_tp_engine(
                 cfg, mesh, model_axis=model_axis, n_splits=n_splits,
                 quantized_cache=quantized_cache, interpret=interpret,
             )
@@ -245,10 +245,10 @@ class Scheduler:
                 raise NotImplementedError(
                     "multi_step: plain greedy linear backend only"
                 )
-        reserve = spec_k + 1 if self.spec else (
+        self._reserve = spec_k + 1 if self.spec else (
             multi_step if multi_step > 1 else 0
         )
-        self.core = BatchSchedulerCore(max_batch, max_len - reserve)
+        self.core = BatchSchedulerCore(max_batch, max_len - self._reserve)
         self._requests: dict[int, Request] = {}
 
         # one compiled single-seq prefill per prompt bucket
@@ -262,13 +262,12 @@ class Scheduler:
                     tp_engine,
                 )
 
-                dfp = tp_engine.make_tp_paged_decode(
+                self._decode = tp_engine.make_tp_paged_decode(
                     cfg, mesh, model_axis=model_axis,
                     quantized_cache=quantized_cache, interpret=interpret,
                 )
-                self._decode = lambda p, toks, cache: dfp(p, toks, cache)
             else:
-                self._decode = lambda p, toks, cache: df(p, toks, cache)
+                self._decode = df
         elif paged:
             self._decode_params = engine.fuse_decode_params(cfg, params)
             self._decode = functools.partial(
@@ -285,9 +284,15 @@ class Scheduler:
         prompt = np.asarray(prompt, np.int32)
         uid = self.core.submit(len(prompt), max_new_tokens)
         if uid < 0:
+            cap = self.max_len - self._reserve
+            extra = (
+                f" (= max_len {self.max_len} minus {self._reserve} scratch "
+                f"rows reserved by spec/multi_step)"
+                if self._reserve else ""
+            )
             raise ValueError(
                 f"prompt ({len(prompt)}) + max_new ({max_new_tokens}) "
-                f"exceeds max_len ({self.max_len})"
+                f"exceeds capacity {cap}{extra}"
             )
         self._requests[uid] = Request(
             uid, prompt, max_new_tokens, t_submit=time.perf_counter()
@@ -355,8 +360,8 @@ class Scheduler:
             prompt = np.zeros((1, tb), np.int32)
             prompt[0, :t] = req.prompt
             cache1 = self._init_cache1(1, tb)
-            logits, cache1 = self._prefill_1(
-                self.params, jnp.asarray(prompt), cache1
+            logits, cache1 = with_retries(
+                self._prefill_1, self.params, jnp.asarray(prompt), cache1
             )
             # bucket padding attends causally within the prompt, so position
             # t-1's logits are unaffected by the padded tail; but `prefill`
@@ -498,13 +503,17 @@ class Scheduler:
             chunk[0, :nj] = req.prompt[j0 : j0 + nj]
             nvec = jnp.full((1,), nj, jnp.int32)
             if self._tp_extend is not None:
-                logits, cache1 = self._tp_extend(
-                    self.params, jnp.asarray(chunk), cache1, nvec
+                logits, cache1 = with_retries(
+                    self._tp_extend, self.params, jnp.asarray(chunk),
+                    cache1, nvec,
                 )
             else:
-                logits, cache1 = engine.extend(
-                    self.cfg, self.params, jnp.asarray(chunk), cache1,
-                    n=nvec, interpret=self.interpret,
+                logits, cache1 = with_retries(
+                    functools.partial(
+                        engine.extend, self.cfg, self.params,
+                        jnp.asarray(chunk), cache1, n=nvec,
+                        interpret=self.interpret,
+                    )
                 )
             if j0 + nj < t:
                 self._decode_once()
@@ -553,22 +562,24 @@ class Scheduler:
         of its round."""
         k = self.spec_k
         cur = jnp.asarray(self.cur_tokens)
-        dl, self.dcache = self._draft_decode(
-            self._draft_params, cur, self.dcache
+        dl, self.dcache = with_retries(
+            self._draft_decode, self._draft_params, cur, self.dcache
         )
         drafts = []
         for _ in range(k):
             d_j = jnp.argmax(dl, axis=-1).astype(jnp.int32)
             drafts.append(d_j)
-            dl, self.dcache = self._draft_decode(
-                self._draft_params, d_j, self.dcache
+            dl, self.dcache = with_retries(
+                self._draft_decode, self._draft_params, d_j, self.dcache
             )
         d = jnp.stack(drafts, axis=1)                      # [B, k]
         chunk = jnp.concatenate([cur[:, None], d], axis=1)  # [B, k+1]
         old_len = np.asarray(self.cache.lengths).copy()
-        all_l, self.cache = engine.extend(
-            self.cfg, self.params, chunk, self.cache,
-            all_logits=True, interpret=self.interpret,
+        all_l, self.cache = with_retries(
+            functools.partial(
+                engine.extend, self.cfg, self.params, chunk, self.cache,
+                all_logits=True, interpret=self.interpret,
+            )
         )
         preds = np.asarray(jnp.argmax(all_l, axis=-1), np.int32)  # [B, k+1]
         d_np = np.asarray(d)
@@ -606,10 +617,12 @@ class Scheduler:
         speculative round)."""
         m = self.multi_step
         old_len = np.asarray(self.cache.lengths).copy()
-        toks, self.cache = engine.decode_steps(
-            self.cfg, self._decode_params, jnp.asarray(self.cur_tokens),
-            self.cache, n_steps=m, n_splits=self.n_splits,
-            interpret=self.interpret,
+        toks, self.cache = with_retries(
+            functools.partial(
+                engine.decode_steps, self.cfg, self._decode_params,
+                jnp.asarray(self.cur_tokens), self.cache, n_steps=m,
+                n_splits=self.n_splits, interpret=self.interpret,
+            )
         )
         toks = np.asarray(toks)
         new_len = old_len.copy()

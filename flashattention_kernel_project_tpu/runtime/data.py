@@ -43,7 +43,11 @@ def _load():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        stale = os.path.exists(_SO) and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        stale = (
+            os.path.exists(_SO)
+            and os.path.exists(_SRC)
+            and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        )
         so = _SO if os.path.exists(_SO) and not stale else _build()
         if so is None:
             return None
