@@ -516,7 +516,10 @@ def decode_step(
 @functools.partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("n_steps", "n_splits", "interpret", "axis"),
+    static_argnames=(
+        "n_steps", "n_splits", "interpret", "axis",
+        "temperature", "top_k", "top_p", "step0",
+    ),
 )
 def decode_steps(
     cfg: tfm.TransformerConfig,
@@ -528,26 +531,34 @@ def decode_steps(
     n_splits: int | None = None,
     interpret: bool | None = None,
     axis: str | None = None,
+    temperature: float = 0.0,
+    key: jax.Array | None = None,
+    top_k: int | None = None,
+    top_p: float | None = None,
+    step0: int = 0,
 ) -> tuple[jax.Array, KVCache]:
-    """n_steps greedy decode steps as ONE device-resident lax.scan program:
-    tokens [B] -> ([B, n_steps] greedy tokens, cache advanced n_steps).
+    """n_steps decode steps as ONE device-resident lax.scan program:
+    tokens [B] -> ([B, n_steps] tokens, cache advanced n_steps). Greedy by
+    default; temperature + key samples inside the scan (each step folds in
+    step0 + i, matching the per-step loop's stream exactly).
 
     One dispatch instead of n_steps — the host round trip (~140 ms over a
     tunnel, ~100 us local) leaves the per-token critical path entirely; the
     scheduler's multi_step mode trades up to n_steps-1 wasted steps at
     EOS/budget for it."""
 
-    def body(carry, _):
+    def body(carry, i):
         cur, c = carry
         logits, c = decode_step(
             cfg, params, cur, c,
             n_splits=n_splits, interpret=interpret, axis=axis,
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = _sample(logits, temperature, key, i, top_k, top_p)
         return (nxt, c), nxt
 
     (_, cache), toks = jax.lax.scan(
-        body, (tokens.astype(jnp.int32), cache), None, length=n_steps
+        body, (tokens.astype(jnp.int32), cache),
+        step0 + jnp.arange(n_steps),
     )
     return toks.swapaxes(0, 1), cache
 
@@ -580,17 +591,19 @@ def generate(
     if int8_weights:
         dec_params = quantize_decode_params(cfg, dec_params)
 
-    tokens = [prompt]
+    # the whole decode loop is one device-resident scan (decode_steps):
+    # per-token host dispatch never touches the critical path
     cur = _sample(logits, temperature, key, 0, top_k, top_p)
-    for step in range(max_new_tokens):
-        tokens.append(cur[:, None])
-        if step == max_new_tokens - 1:
-            break
-        logits, cache = decode_step(
-            cfg, dec_params, cur, cache, n_splits=n_splits, interpret=interpret
+    parts = [prompt.astype(jnp.int32), cur[:, None]]
+    if max_new_tokens > 1:
+        toks, cache = decode_steps(
+            cfg, dec_params, cur, cache,
+            n_steps=max_new_tokens - 1, n_splits=n_splits,
+            interpret=interpret, temperature=temperature, key=key,
+            top_k=top_k, top_p=top_p, step0=1,
         )
-        cur = _sample(logits, temperature, key, step + 1, top_k, top_p)
-    return jnp.concatenate(tokens, axis=1)
+        parts.append(toks)
+    return jnp.concatenate(parts, axis=1)
 
 
 def _sample(logits, temperature, key, step, top_k=None, top_p=None):
