@@ -27,7 +27,11 @@ from flashattention_kernel_project_tpu.parallel.pipeline import (  # noqa: F401
 )
 from flashattention_kernel_project_tpu.parallel.tp_engine import (  # noqa: F401
     cache_specs,
+    init_sp_cache,
     init_tp_cache,
+    init_tp_paged_cache,
     local_config,
+    make_sp_decode_step,
     make_tp_engine,
+    make_tp_paged_decode,
 )

@@ -193,3 +193,124 @@ def make_tp_engine(
         in_specs=(rules, P(), cspecs), out_specs=(logits_spec, cspecs),
     ))
     return prefill_fn, extend_fn, decode_fn, rules
+
+
+# ---------------------------------------------------------------------------
+# Sequence-sharded decode engine (context parallel at serving time): the KV
+# cache is sharded along its LENGTH, for contexts bigger than one chip's
+# HBM. Params are replicated and every chip computes the same activations —
+# redundantly, on purpose: decode is bandwidth-bound on the KV stream, and
+# that stream is what gets split P ways. Per layer each chip appends the
+# new token iff the global write position lands in its shard, runs split-KV
+# decode over its slice for UNNORMALIZED (m, l, y) partials, and one tiny
+# all_gather + the associative streaming merge (the reference's algebra,
+# flashattn_streaming_16x16.cu:15-24, across chips) produces the output
+# everywhere. parallel/mesh.py::seq_sharded_decode is the kernel-level
+# version of the same idea; this is the whole-transformer step.
+# ---------------------------------------------------------------------------
+
+def sp_cache_specs(n_layers: int, seq_axis: str = "sp"):
+    kv = tuple(P(None, None, seq_axis, None) for _ in range(n_layers))
+    return engine.KVCache(k=kv, v=kv, k_scale=None, v_scale=None, lengths=P())
+
+
+def init_sp_cache(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    batch: int,
+    max_len: int,
+    *,
+    seq_axis: str = "sp",
+) -> engine.KVCache:
+    """Allocate a bf16 linear cache length-sharded over `seq_axis`
+    (max_len must divide evenly)."""
+    assert max_len % mesh.shape[seq_axis] == 0, (max_len, mesh.shape)
+    cache = engine.init_cache(cfg, batch, max_len)
+    specs = sp_cache_specs(cfg.n_layers, seq_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
+    )
+
+
+def make_sp_decode_step(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    *,
+    seq_axis: str = "sp",
+    n_splits: int | None = None,
+    interpret: bool | None = None,
+):
+    """Returns decode_fn(params, tokens[B], cache) -> (logits, cache) with
+    the cache length-sharded per init_sp_cache and params replicated
+    (split layout)."""
+    import jax.numpy as jnp
+
+    from flashattention_kernel_project_tpu.ops.flash_decode import (
+        flash_decode,
+        merge_partials,
+    )
+
+    rep_rules = jax.tree.map(
+        lambda _: P(), tfm.param_shardings(cfg),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    cspecs = sp_cache_specs(cfg.n_layers, seq_axis)
+
+    def _write_shard(cache_layer, new, pos_c, ok):
+        # new [B, Hkv, 1, D] lands at per-slot local position pos_c, but
+        # only on the chip whose shard owns the global write position
+        def one(slot_cache, slot_new, pos, good):
+            upd = jax.lax.dynamic_update_slice(
+                slot_cache, slot_new.astype(slot_cache.dtype), (0, pos, 0)
+            )
+            return jnp.where(good, upd, slot_cache)
+
+        return jax.vmap(one)(cache_layer, new, pos_c, ok)
+
+    def _decode(params, tokens, cache):
+        b = tokens.shape[0]
+        idx = jax.lax.axis_index(seq_axis)
+        s_loc = cache.k[0].shape[2]
+        x = params["embed"][tokens][:, None]
+        sin, cos = tfm.rope_tables(cfg, cache.lengths[:, None])
+        local_pos = cache.lengths - idx * s_loc
+        ok = (local_pos >= 0) & (local_pos < s_loc)
+        pos_c = jnp.clip(local_pos, 0, s_loc - 1)
+        new_lengths = cache.lengths + 1
+        local_len = jnp.clip(new_lengths - idx * s_loc, 0, s_loc)
+        k_all, v_all = list(cache.k), list(cache.v)
+        for i in range(cfg.n_layers):
+            layer = jax.tree.map(lambda p: p[i], params["layers"])
+            h = tfm.rms_norm(x, layer["rms_attn"])
+            q, k, v = engine._qkv(cfg, layer, h, b, 1)
+            q = tfm.apply_rope(q, sin, cos)
+            k = tfm.apply_rope(k, sin, cos)
+            k_all[i] = _write_shard(
+                k_all[i], k.transpose(0, 2, 1, 3), pos_c, ok
+            )
+            v_all[i] = _write_shard(
+                v_all[i], v.transpose(0, 2, 1, 3), pos_c, ok
+            )
+            qd = q.reshape(b, cfg.n_heads, cfg.d_head).astype(cfg.dtype)
+            m, l, y = flash_decode(
+                qd, k_all[i], v_all[i], local_len,
+                n_splits=n_splits, return_partials=True,
+                interpret=interpret,
+            )
+            mm = jnp.moveaxis(jax.lax.all_gather(m, seq_axis), 0, -3)
+            ll = jnp.moveaxis(jax.lax.all_gather(l, seq_axis), 0, -3)
+            yy = jnp.moveaxis(jax.lax.all_gather(y, seq_axis), 0, -3)
+            out = merge_partials(mm, ll, yy)  # [B, Hkv, G, D]
+            o = out.reshape(b, cfg.q_dim).astype(x.dtype)
+            x = x + engine._proj(o[:, None], layer, "wo", x.dtype)
+            x = engine._mlp(layer, x)
+        x = tfm.rms_norm(x, params["rms_final"])
+        logits = engine._lm_head(params, x[:, 0])
+        return logits, engine.KVCache(
+            tuple(k_all), tuple(v_all), None, None, new_lengths
+        )
+
+    return jax.jit(shard_map(
+        _decode, mesh=mesh, check_vma=False,
+        in_specs=(rep_rules, P(), cspecs), out_specs=(P(), cspecs),
+    ))
