@@ -249,6 +249,7 @@ class Scheduler:
             multi_step if multi_step > 1 else 0
         )
         self.core = BatchSchedulerCore(max_batch, max_len - self._reserve)
+        self._callbacks: dict[int, Callable[[int, int, bool], None]] = {}
         self._requests: dict[int, Request] = {}
 
         # one compiled single-seq prefill per prompt bucket
@@ -280,7 +281,15 @@ class Scheduler:
             )
 
     # ----------------------------------------------------------------- API
-    def submit(self, prompt: np.ndarray, max_new_tokens: int = 32) -> int:
+    def submit(
+        self,
+        prompt: np.ndarray,
+        max_new_tokens: int = 32,
+        on_token: Callable[[int, int, bool], None] | None = None,
+    ) -> int:
+        """Queue a request. on_token(uid, token, done) streams each
+        committed token as it lands (greedy modes commit in bursts:
+        chunked-prefill interleave, spec rounds, multi_step windows)."""
         prompt = np.asarray(prompt, np.int32)
         uid = self.core.submit(len(prompt), max_new_tokens)
         if uid < 0:
@@ -297,6 +306,8 @@ class Scheduler:
         self._requests[uid] = Request(
             uid, prompt, max_new_tokens, t_submit=time.perf_counter()
         )
+        if on_token is not None:
+            self._callbacks[uid] = on_token
         return uid
 
     def run(self) -> dict[int, list[int]]:
@@ -658,13 +669,19 @@ class Scheduler:
         """Report the token to the core; on finish, retire the request and
         zero the slot length so the decode kernel masks it out."""
         eos = -1 if self.eos_token is None else self.eos_token
-        if self.core.on_token(slot, token, eos):
+        finished = self.core.on_token(slot, token, eos)
+        req_now = self.slots[slot]
+        cb = self._callbacks.get(req_now.uid) if req_now else None
+        if cb is not None:
+            cb(req_now.uid, token, finished)
+        if finished:
             req = self.slots[slot]
             req.done = True
             req.t_done = time.perf_counter()
             self.finished.append(req)
             self.slots[slot] = None
             self._requests.pop(req.uid, None)
+            self._callbacks.pop(req.uid, None)
             self.cache = self.cache._replace(
                 lengths=self.cache.lengths.at[slot].set(0)
             )

@@ -488,3 +488,29 @@ def test_scheduler_tp_paged_prefix_matches_single_device():
     for u, ru in zip(uids, ruids):
         assert out[u] == rout[ru], (out[u], rout[ru])
     assert tp._pool.free_pages == tp._n_pages - 1
+
+
+def test_scheduler_streaming_callbacks():
+    """on_token streams every committed token in order, flags the last one
+    done, across plain / spec / multi_step modes."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    p = np.array([3, 1, 4, 1, 5], np.int32)
+
+    def run(**kw):
+        sched = Scheduler(CFG, params, max_batch=2, max_len=64, **kw)
+        seen = {}
+
+        def cb(uid, tok, done):
+            seen.setdefault(uid, []).append((tok, done))
+
+        uids = [sched.submit(p, max_new_tokens=5, on_token=cb) for _ in range(2)]
+        out = sched.run()
+        for u in uids:
+            toks = [t for t, _ in seen[u]]
+            assert toks == out[u]
+            assert [d for _, d in seen[u]] == [False] * 4 + [True]
+        return [out[u] for u in uids]
+
+    plain = run()
+    assert run(multi_step=3) == plain
+    assert run(draft_cfg=CFG, draft_params=params, spec_k=3) == plain
