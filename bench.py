@@ -21,6 +21,26 @@ import numpy as np
 
 
 def main():
+    # if the axon tunnel is down (observed: ~25 min init hang then
+    # UNAVAILABLE), report that honestly instead of crashing with no output
+    try:
+        import jax
+
+        jax.devices()
+    except RuntimeError as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "flashattention_fwd_causal_gqa_d128_seq4k_tflops",
+                    "value": 0.0,
+                    "unit": "TFLOP/s",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU backend unavailable: {e}"[:200],
+                }
+            )
+        )
+        return 0
+
     import jax.numpy as jnp
 
     from flashattention_kernel_project_tpu import ops
