@@ -539,3 +539,38 @@ def test_flash_window_sinks_gradients(rng):
     gn = jax.grad(loss_n, argnums=(0, 1, 2))(qj, kj, vj)
     for a, b in zip(gf, gn):
         assert_rel_l2(np.asarray(a), np.asarray(b), tol=1e-3)
+
+
+def test_flash_forward_fuzz_configs(rng):
+    """Property sweep: random (shape, GQA ratio, causal, stable, window,
+    sinks, blocks) combinations against the oracle — the corner
+    interactions no single targeted test covers."""
+    r = np.random.default_rng(123)
+    for trial in range(12):
+        hkv = int(r.choice([1, 2, 4]))
+        g = int(r.choice([1, 2, 4]))
+        n = int(r.choice([48, 64, 96, 128]))
+        d = int(r.choice([32, 64]))
+        causal = bool(r.integers(0, 2))
+        stable = bool(r.integers(0, 2))
+        window = None
+        sinks = 0
+        if causal and r.integers(0, 2):
+            window = int(r.integers(8, n))
+            if r.integers(0, 2):
+                sinks = int(r.integers(1, 8))
+        bq = int(r.choice([16, 32]))
+        bk = int(r.choice([16, 32]))
+        q = rng.standard_normal((1, hkv * g, n, d), dtype=np.float32)
+        k = rng.standard_normal((1, hkv, n, d), dtype=np.float32)
+        v = rng.standard_normal((1, hkv, n, d), dtype=np.float32)
+        out = ops.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            causal=causal, stable=stable, window=window, sinks=sinks,
+            block_q=bq, block_k=bk,
+        )
+        exp = oracles.gqa_attention(
+            q, k, v, causal=causal, window=window, sinks=sinks
+        )
+        cfgs = (hkv, g, n, d, causal, stable, window, sinks, bq, bk)
+        assert_rel_l2(np.asarray(out), exp, 2e-5, msg=str(cfgs))

@@ -514,3 +514,35 @@ def test_scheduler_streaming_callbacks():
     plain = run()
     assert run(multi_step=3) == plain
     assert run(draft_cfg=CFG, draft_params=params, spec_k=3) == plain
+
+
+def test_scheduler_fuzz_schedules():
+    """Randomized serving stress: random prompt lengths/budgets across the
+    backend matrix (linear/paged x chunked x multi_step) must all produce
+    the isolated-generation reference stream for every request."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(77)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=int(n)).astype(np.int32)
+        for n in rng.integers(3, 20, size=6)
+    ]
+    budgets = [int(b) for b in rng.integers(1, 7, size=6)]
+    refs = {}
+    for i, (p, b) in enumerate(zip(prompts, budgets)):
+        refs[i] = _isolated_reference(params, p, b)
+
+    for kw in (
+        dict(),
+        dict(prefill_chunk=4),
+        dict(paged=True, page_size=8),
+        dict(paged=True, page_size=8, prefix_cache=True, prefill_chunk=6),
+        dict(multi_step=4),
+    ):
+        sched = Scheduler(CFG, params, max_batch=3, max_len=64, **kw)
+        uids = [
+            sched.submit(p, max_new_tokens=b)
+            for p, b in zip(prompts, budgets)
+        ]
+        out = sched.run()
+        for i, u in enumerate(uids):
+            assert out[u] == refs[i], (kw, i, out[u], refs[i])
