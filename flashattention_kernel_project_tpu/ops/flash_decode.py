@@ -333,7 +333,10 @@ def flash_decode(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_splits", "sm_scale", "interpret", "window", "sinks"),
+    static_argnames=(
+        "n_splits", "sm_scale", "interpret", "return_partials", "window",
+        "sinks",
+    ),
 )
 def flash_decode_int8(
     q: jax.Array,
@@ -346,6 +349,7 @@ def flash_decode_int8(
     n_splits: int | None = None,
     sm_scale: float | None = None,
     interpret: bool | None = None,
+    return_partials: bool = False,
     window: int | None = None,
     sinks: int = 0,
 ) -> jax.Array:
@@ -435,6 +439,15 @@ def flash_decode_int8(
         lengths.astype(jnp.int32),
         qg.reshape(b, hkv, gp, d), k_q, k_scale, v_q, v_scale,
     )
+
+    if return_partials:
+        # same UNNORMALIZED fold as flash_decode: the cross-device merge
+        # carry for sequence-sharded decode over an 8-bit cache
+        m_g = jnp.max(m, axis=-3)
+        alpha = jnp.exp(m - m_g[..., None, :, :])
+        l_g = jnp.sum(l * alpha, axis=-3)
+        y_g = jnp.sum(y * alpha, axis=-3)
+        return m_g[:, :, :g], l_g[:, :, :g], y_g[:, :, :g]
 
     out = merge_partials(m, l, y)
     return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)

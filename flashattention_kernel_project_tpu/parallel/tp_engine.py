@@ -209,9 +209,14 @@ def make_tp_engine(
 # version of the same idea; this is the whole-transformer step.
 # ---------------------------------------------------------------------------
 
-def sp_cache_specs(n_layers: int, seq_axis: str = "sp"):
+def sp_cache_specs(
+    n_layers: int, seq_axis: str = "sp", quantized: bool = False
+):
     kv = tuple(P(None, None, seq_axis, None) for _ in range(n_layers))
-    return engine.KVCache(k=kv, v=kv, k_scale=None, v_scale=None, lengths=P())
+    scale = kv if quantized else None
+    return engine.KVCache(
+        k=kv, v=kv, k_scale=scale, v_scale=scale, lengths=P()
+    )
 
 
 def init_sp_cache(
@@ -220,13 +225,17 @@ def init_sp_cache(
     batch: int,
     max_len: int,
     *,
+    quantized: bool = False,
+    quant_fmt: str = "int8",
     seq_axis: str = "sp",
 ) -> engine.KVCache:
-    """Allocate a bf16 linear cache length-sharded over `seq_axis`
-    (max_len must divide evenly)."""
+    """Allocate a linear cache length-sharded over `seq_axis`
+    (max_len must divide evenly); 8-bit values + scales when quantized."""
     assert max_len % mesh.shape[seq_axis] == 0, (max_len, mesh.shape)
-    cache = engine.init_cache(cfg, batch, max_len)
-    specs = sp_cache_specs(cfg.n_layers, seq_axis)
+    cache = engine.init_cache(
+        cfg, batch, max_len, quantized=quantized, quant_fmt=quant_fmt
+    )
+    specs = sp_cache_specs(cfg.n_layers, seq_axis, quantized)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), cache, specs
     )
@@ -238,23 +247,31 @@ def make_sp_decode_step(
     *,
     seq_axis: str = "sp",
     n_splits: int | None = None,
+    quantized_cache: bool = False,
     interpret: bool | None = None,
 ):
     """Returns decode_fn(params, tokens[B], cache) -> (logits, cache) with
     the cache length-sharded per init_sp_cache and params replicated
-    (split layout)."""
+    (split layout). quantized_cache: the shards are 8-bit + per-token
+    scales; the new token quantizes shard-locally and attention runs the
+    fused-dequant split-KV kernel per shard."""
     import jax.numpy as jnp
 
     from flashattention_kernel_project_tpu.ops.flash_decode import (
         flash_decode,
+        flash_decode_int8,
         merge_partials,
+    )
+    from flashattention_kernel_project_tpu.ops.quant import (
+        quantize_fp8_tokenwise,
+        quantize_int8,
     )
 
     rep_rules = jax.tree.map(
         lambda _: P(), tfm.param_shardings(cfg),
         is_leaf=lambda x: isinstance(x, P),
     )
-    cspecs = sp_cache_specs(cfg.n_layers, seq_axis)
+    cspecs = sp_cache_specs(cfg.n_layers, seq_axis, quantized_cache)
 
     def _write_shard(cache_layer, new, pos_c, ok):
         # new [B, Hkv, 1, D] lands at per-slot local position pos_c, but
@@ -279,24 +296,43 @@ def make_sp_decode_step(
         new_lengths = cache.lengths + 1
         local_len = jnp.clip(new_lengths - idx * s_loc, 0, s_loc)
         k_all, v_all = list(cache.k), list(cache.v)
+        ks_all = list(cache.k_scale) if quantized_cache else None
+        vs_all = list(cache.v_scale) if quantized_cache else None
         for i in range(cfg.n_layers):
             layer = jax.tree.map(lambda p: p[i], params["layers"])
             h = tfm.rms_norm(x, layer["rms_attn"])
             q, k, v = engine._qkv(cfg, layer, h, b, 1)
             q = tfm.apply_rope(q, sin, cos)
             k = tfm.apply_rope(k, sin, cos)
-            k_all[i] = _write_shard(
-                k_all[i], k.transpose(0, 2, 1, 3), pos_c, ok
-            )
-            v_all[i] = _write_shard(
-                v_all[i], v.transpose(0, 2, 1, 3), pos_c, ok
-            )
+            k_t = k.transpose(0, 2, 1, 3)
+            v_t = v.transpose(0, 2, 1, 3)
+            if quantized_cache:
+                quantizer = (
+                    quantize_int8 if k_all[i].dtype == jnp.int8
+                    else quantize_fp8_tokenwise
+                )
+                k_q, k_s = quantizer(k_t, axis=-1)
+                v_q, v_s = quantizer(v_t, axis=-1)
+                k_all[i] = _write_shard(k_all[i], k_q, pos_c, ok)
+                v_all[i] = _write_shard(v_all[i], v_q, pos_c, ok)
+                ks_all[i] = _write_shard(ks_all[i], k_s, pos_c, ok)
+                vs_all[i] = _write_shard(vs_all[i], v_s, pos_c, ok)
+            else:
+                k_all[i] = _write_shard(k_all[i], k_t, pos_c, ok)
+                v_all[i] = _write_shard(v_all[i], v_t, pos_c, ok)
             qd = q.reshape(b, cfg.n_heads, cfg.d_head).astype(cfg.dtype)
-            m, l, y = flash_decode(
-                qd, k_all[i], v_all[i], local_len,
-                n_splits=n_splits, return_partials=True,
-                interpret=interpret,
-            )
+            if quantized_cache:
+                m, l, y = flash_decode_int8(
+                    qd, k_all[i], ks_all[i], v_all[i], vs_all[i],
+                    local_len, n_splits=n_splits, return_partials=True,
+                    interpret=interpret,
+                )
+            else:
+                m, l, y = flash_decode(
+                    qd, k_all[i], v_all[i], local_len,
+                    n_splits=n_splits, return_partials=True,
+                    interpret=interpret,
+                )
             mm = jnp.moveaxis(jax.lax.all_gather(m, seq_axis), 0, -3)
             ll = jnp.moveaxis(jax.lax.all_gather(l, seq_axis), 0, -3)
             yy = jnp.moveaxis(jax.lax.all_gather(y, seq_axis), 0, -3)
@@ -307,7 +343,10 @@ def make_sp_decode_step(
         x = tfm.rms_norm(x, params["rms_final"])
         logits = engine._lm_head(params, x[:, 0])
         return logits, engine.KVCache(
-            tuple(k_all), tuple(v_all), None, None, new_lengths
+            tuple(k_all), tuple(v_all),
+            tuple(ks_all) if quantized_cache else None,
+            tuple(vs_all) if quantized_cache else None,
+            new_lengths,
         )
 
     return jax.jit(shard_map(

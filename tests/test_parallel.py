@@ -419,3 +419,39 @@ def test_sp_decode_engine_matches_single_device():
     np.testing.assert_array_equal(
         np.asarray(cache.lengths), np.asarray(ref_cache.lengths)
     )
+
+
+def test_sp_decode_engine_quantized():
+    """SP decode engine over an int8 length-sharded cache: shard-local
+    token quantization + fused-dequant partials, merged across chips —
+    tracks the single-device quantized decode."""
+    from flashattention_kernel_project_tpu import models
+    from flashattention_kernel_project_tpu.parallel import tp_engine
+
+    cfg = models.TransformerConfig(
+        vocab_size=64, d_model=32, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_head=16, d_ff=64, dtype=jnp.float32, block_q=16, block_k=16,
+    )
+    mesh = parallel.make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    prompt = jax.random.randint(jax.random.PRNGKey(2), (2, 10), 0, 64)
+
+    ref_cache = models.init_cache(cfg, 2, 64, quantized=True)
+    logits, ref_cache = models.prefill(cfg, params, prompt, ref_cache)
+    cache = jax.tree.map(
+        lambda x, s: jax.device_put(x, jax.sharding.NamedSharding(mesh, s)),
+        ref_cache, tp_engine.sp_cache_specs(cfg.n_layers, quantized=True),
+    )
+    dec = tp_engine.make_sp_decode_step(
+        cfg, mesh, n_splits=2, quantized_cache=True, interpret=True
+    )
+    cur = jnp.argmax(logits, -1).astype(jnp.int32)
+    for _ in range(3):
+        lg, cache = dec(params, cur, cache)
+        ref_lg, ref_cache = models.decode_step(
+            cfg, params, cur, ref_cache, n_splits=2
+        )
+        assert_rel_l2(np.asarray(lg), np.asarray(ref_lg), 1e-4)
+        cur = jnp.argmax(lg, -1).astype(jnp.int32)
+        ref_cur = jnp.argmax(ref_lg, -1).astype(jnp.int32)
+        np.testing.assert_array_equal(np.asarray(cur), np.asarray(ref_cur))
