@@ -80,6 +80,8 @@ class Scheduler:
         prefill_chunk: int | None = None,
         mesh=None,
         model_axis: str = "model",
+        seq_mesh=None,
+        seq_axis: str = "sp",
         paged: bool = False,
         page_size: int = 128,
         n_pages: int | None = None,
@@ -102,8 +104,13 @@ class Scheduler:
         self.n_splits = n_splits
         self.prefill_chunk = prefill_chunk
         self.mesh = mesh
+        self.seq_mesh = seq_mesh
         self.paged = paged
         self.interpret = interpret
+        if seq_mesh is not None and (mesh is not None or paged):
+            raise NotImplementedError(
+                "seq_mesh (length-sharded cache) is a linear single-TP mode"
+            )
         # per-scheduler sampling (temperature/top-k/nucleus). Greedy when
         # temperature == 0 or no key. Deterministic given the key: each
         # sample folds in a monotonically increasing step counter.
@@ -189,6 +196,28 @@ class Scheduler:
             self._draft_decode = functools.partial(
                 engine.decode_step, draft_cfg, interpret=interpret
             )
+        if seq_mesh is not None:
+            # sequence-parallel serving: the batch cache is sharded along
+            # its LENGTH over the mesh (contexts beyond one chip's HBM);
+            # params replicated, decode through the SP engine step
+            # (shard-local appends + streaming merge across chips).
+            # Prefill stays the batch-1 single-logical path — the splice
+            # into the sharded cache distributes under GSPMD.
+            from flashattention_kernel_project_tpu.parallel import tp_engine
+
+            assert max_len % seq_mesh.shape[seq_axis] == 0, (
+                max_len, dict(seq_mesh.shape),
+            )
+            self.cache = tp_engine.init_sp_cache(
+                cfg, seq_mesh, max_batch, max_len,
+                quantized=quantized_cache, seq_axis=seq_axis,
+            )
+            self._sp_decode = tp_engine.make_sp_decode_step(
+                cfg, seq_mesh, seq_axis=seq_axis, n_splits=n_splits,
+                quantized_cache=quantized_cache, interpret=interpret,
+            )
+        else:
+            self._sp_decode = None
         if mesh is not None:
             # tensor-parallel mode: the whole engine runs shard_map'd over
             # the mesh (parallel/tp_engine.py) — megatron-sharded weights,
@@ -218,7 +247,7 @@ class Scheduler:
                 model_axis=model_axis,
             )
         else:
-            if not paged:
+            if not paged and seq_mesh is None:
                 self.cache = engine.init_cache(
                     cfg, max_batch, max_len, quantized=quantized_cache
                 )
@@ -256,7 +285,10 @@ class Scheduler:
         self._prefill_1 = functools.partial(
             engine.prefill, cfg, interpret=interpret
         )
-        if mesh is not None:
+        if seq_mesh is not None:
+            self._decode_params = self.params  # replicated split layout
+            self._decode = self._sp_decode
+        elif mesh is not None:
             self._decode_params = self.params  # sharded split layout
             if paged:
                 from flashattention_kernel_project_tpu.parallel import (

@@ -546,3 +546,29 @@ def test_scheduler_fuzz_schedules():
         out = sched.run()
         for i, u in enumerate(uids):
             assert out[u] == refs[i], (kw, i, out[u], refs[i])
+
+
+def test_scheduler_seq_sharded_matches_single_device():
+    """Scheduler(seq_mesh=...): the batch KV cache sharded along its
+    LENGTH (the beyond-one-chip's-HBM mode) must produce the plain
+    scheduler's tokens exactly."""
+    from flashattention_kernel_project_tpu import parallel
+
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    mesh = parallel.make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(14)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (6, 11, 4)
+    ]
+    sp = Scheduler(
+        CFG, params, max_batch=2, max_len=64, seq_mesh=mesh, interpret=True,
+    )
+    uids = [sp.submit(p, max_new_tokens=4) for p in prompts]
+    out = sp.run()
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64, interpret=True)
+    ruids = [ref.submit(p, max_new_tokens=4) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
