@@ -574,3 +574,51 @@ def test_flash_forward_fuzz_configs(rng):
         )
         cfgs = (hkv, g, n, d, causal, stable, window, sinks, bq, bk)
         assert_rel_l2(np.asarray(out), exp, 2e-5, msg=str(cfgs))
+
+
+def test_flash_backward_fuzz_configs(rng):
+    """Backward property sweep: random (GQA, causal, window, blocks)
+    configs — Pallas dq/dk/dv vs the fp32 autodiff reference."""
+    r = np.random.default_rng(321)
+    for trial in range(6):
+        hkv = int(r.choice([1, 2]))
+        g = int(r.choice([1, 2]))
+        n = int(r.choice([48, 64]))
+        d = 32
+        causal = bool(r.integers(0, 2))
+        window = int(r.integers(8, n)) if causal and r.integers(0, 2) else None
+        q = jnp.asarray(rng.standard_normal((1, hkv * g, n, d), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((1, hkv, n, d), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((1, hkv, n, d), dtype=np.float32))
+
+        def loss(q, k, v, causal=causal, window=window):
+            o = ops.flash_attention(
+                q, k, v, causal=causal, window=window,
+                block_q=16, block_k=16,
+            )
+            return jnp.sum(o * jnp.sin(o))
+
+        gq, gk, gv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+        def ref_loss(q, k, v, causal=causal, window=window):
+            group = q.shape[1] // k.shape[1]
+            kr = jnp.repeat(k, group, axis=1)
+            vr = jnp.repeat(v, group, axis=1)
+            s = jnp.einsum("bhnd,bhmd->bhnm", q, kr) / np.sqrt(d)
+            row = jnp.arange(n)[:, None]
+            col = jnp.arange(n)[None, :]
+            mask = jnp.ones((n, n), bool)
+            if causal:
+                mask &= col <= row
+            if window is not None:
+                mask &= col > row - window
+            s = jnp.where(mask[None, None], s, -1e30)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum("bhnm,bhmd->bhnd", p, vr)
+            return jnp.sum(o * jnp.sin(o))
+
+        rq, rk, rv = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        cfgs = (hkv, g, n, causal, window)
+        assert_rel_l2(np.asarray(gq), np.asarray(rq), 5e-4, msg=f"dq {cfgs}")
+        assert_rel_l2(np.asarray(gk), np.asarray(rk), 5e-4, msg=f"dk {cfgs}")
+        assert_rel_l2(np.asarray(gv), np.asarray(rv), 5e-4, msg=f"dv {cfgs}")
