@@ -176,9 +176,9 @@ class Scheduler:
         # each slot's committed length (the admission core reserves them).
         self.spec = draft_cfg is not None
         if self.spec:
-            if paged or mesh is not None:
+            if paged or seq_mesh is not None:
                 raise NotImplementedError(
-                    "speculative decoding: linear single-mesh backend only"
+                    "speculative decoding: linear cache only"
                 )
             if self.sampling:
                 raise NotImplementedError(
@@ -188,6 +188,9 @@ class Scheduler:
             assert draft_cfg.vocab_size == cfg.vocab_size
             self.draft_cfg = draft_cfg
             self.spec_k = spec_k
+            # the draft stays replicated/single-logical-device even under a
+            # TP mesh — it is small by construction; only the target's
+            # verify extend shards
             self.dcache = engine.init_cache(draft_cfg, max_batch, max_len)
             self._draft_split_params = draft_params
             self._draft_params = engine.fuse_decode_params(
@@ -239,6 +242,13 @@ class Scheduler:
                     quantized=quantized_cache, model_axis=model_axis,
                 )
             self._tp_extend = ef
+            self._tp_verify = (
+                tp_engine.make_tp_verify_extend(
+                    cfg, mesh, model_axis=model_axis,
+                    quantized_cache=quantized_cache, interpret=interpret,
+                )
+                if self.spec else None
+            )
             # paged mode prefills full-precision; the page scatter owns
             # the quantization (same rule as the single-device path)
             self._init_cache1 = functools.partial(
@@ -252,6 +262,7 @@ class Scheduler:
                     cfg, max_batch, max_len, quantized=quantized_cache
                 )
             self._tp_extend = None
+            self._tp_verify = None
             # paged mode prefills into a full-precision batch-1 cache — the
             # page scatter (engine._scatter_pages_q) owns the quantization
             self._init_cache1 = functools.partial(
@@ -618,12 +629,17 @@ class Scheduler:
         d = jnp.stack(drafts, axis=1)                      # [B, k]
         chunk = jnp.concatenate([cur[:, None], d], axis=1)  # [B, k+1]
         old_len = np.asarray(self.cache.lengths).copy()
-        all_l, self.cache = with_retries(
-            functools.partial(
-                engine.extend, self.cfg, self.params, chunk, self.cache,
-                all_logits=True, interpret=self.interpret,
+        if self._tp_verify is not None:
+            all_l, self.cache = with_retries(
+                self._tp_verify, self.params, chunk, self.cache
             )
-        )
+        else:
+            all_l, self.cache = with_retries(
+                functools.partial(
+                    engine.extend, self.cfg, self.params, chunk, self.cache,
+                    all_logits=True, interpret=self.interpret,
+                )
+            )
         preds = np.asarray(jnp.argmax(all_l, axis=-1), np.int32)  # [B, k+1]
         d_np = np.asarray(d)
         match = preds[:, :-1] == d_np

@@ -106,6 +106,33 @@ def init_tp_paged_cache(
     )
 
 
+def make_tp_verify_extend(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    *,
+    model_axis: str = "model",
+    quantized_cache: bool = False,
+    interpret: bool | None = None,
+):
+    """TP ragged extend returning EVERY position's logits [B, T, V] — the
+    speculative-decoding verify pass over the mesh."""
+    tp = mesh.shape[model_axis]
+    lcfg = local_config(cfg, tp)
+    rules = tfm.param_shardings(cfg, model_axis=model_axis)
+    cspecs = cache_specs(quantized_cache, cfg.n_layers, model_axis)
+
+    def _extend(params, tokens, cache):
+        return engine.extend(
+            lcfg, params, tokens, cache, all_logits=True,
+            interpret=interpret, axis=model_axis,
+        )
+
+    return jax.jit(shard_map(
+        _extend, mesh=mesh, check_vma=False,
+        in_specs=(rules, P(), cspecs), out_specs=(P(), cspecs),
+    ))
+
+
 def make_tp_paged_decode(
     cfg: tfm.TransformerConfig,
     mesh: Mesh,

@@ -572,3 +572,39 @@ def test_scheduler_seq_sharded_matches_single_device():
     rout = ref.run()
     for u, ru in zip(uids, ruids):
         assert out[u] == rout[ru], (out[u], rout[ru])
+
+
+def test_scheduler_speculative_over_tp_mesh():
+    """Speculative decoding with the TARGET sharded over the TP mesh (the
+    draft stays replicated): tokens must equal the plain single-device
+    scheduler's greedy stream."""
+    import dataclasses as dc
+
+    from flashattention_kernel_project_tpu import parallel
+
+    cfg = models.TransformerConfig(
+        vocab_size=64, d_model=32, n_layers=2, n_heads=8, n_kv_heads=4,
+        d_head=16, d_ff=64, dtype=jnp.float32, block_q=16, block_k=16,
+    )
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    draft_cfg = dc.replace(cfg, n_layers=1, d_ff=32, n_heads=4, n_kv_heads=2)
+    draft_params = models.init_params(draft_cfg, jax.random.PRNGKey(9))
+    mesh = parallel.make_mesh({"model": 4}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(15)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, size=n).astype(np.int32)
+        for n in (6, 9)
+    ]
+    sp = Scheduler(
+        cfg, params, max_batch=2, max_len=64, mesh=mesh,
+        draft_cfg=draft_cfg, draft_params=draft_params, spec_k=3,
+        interpret=True,
+    )
+    uids = [sp.submit(p, max_new_tokens=5) for p in prompts]
+    out = sp.run()
+
+    ref = Scheduler(cfg, params, max_batch=2, max_len=64, interpret=True)
+    ruids = [ref.submit(p, max_new_tokens=5) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
