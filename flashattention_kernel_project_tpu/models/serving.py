@@ -34,6 +34,7 @@ class Request:
     max_new_tokens: int
     generated: list[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    temperature: float | None = None  # None -> the scheduler default
     # observability (seconds, time.perf_counter clock)
     t_submit: float = 0.0
     t_first_token: float = 0.0
@@ -120,6 +121,9 @@ class Scheduler:
         self._key = key
         self._sample_step = 0
         self.sampling = temperature > 0.0 and key is not None
+        # per-slot effective temperature (requests may override the
+        # scheduler default per submit(); 0 = greedy)
+        self._slot_temp = np.zeros(max_batch, np.float32)
         if paged:
             # vLLM-style backend: a shared page pool replaces the per-slot
             # max_len reservation. Pages are allocated at insert for the
@@ -329,11 +333,20 @@ class Scheduler:
         prompt: np.ndarray,
         max_new_tokens: int = 32,
         on_token: Callable[[int, int, bool], None] | None = None,
+        temperature: float | None = None,
     ) -> int:
         """Queue a request. on_token(uid, token, done) streams each
         committed token as it lands (greedy modes commit in bursts:
-        chunked-prefill interleave, spec rounds, multi_step windows)."""
+        chunked-prefill interleave, spec rounds, multi_step windows).
+        temperature overrides the scheduler default for THIS request
+        (requires a scheduler `key`; 0 = greedy; spec/multi_step modes
+        are greedy-only)."""
         prompt = np.asarray(prompt, np.int32)
+        if temperature is not None and temperature > 0.0:
+            if self._key is None:
+                raise ValueError("per-request temperature needs a key")
+            if self.spec or self.multi_step > 1:
+                raise ValueError("spec/multi_step modes are greedy-only")
         uid = self.core.submit(len(prompt), max_new_tokens)
         if uid < 0:
             cap = self.max_len - self._reserve
@@ -347,7 +360,8 @@ class Scheduler:
                 f"exceeds capacity {cap}{extra}"
             )
         self._requests[uid] = Request(
-            uid, prompt, max_new_tokens, t_submit=time.perf_counter()
+            uid, prompt, max_new_tokens, t_submit=time.perf_counter(),
+            temperature=temperature,
         )
         if on_token is not None:
             self._callbacks[uid] = on_token
@@ -442,7 +456,13 @@ class Scheduler:
                 slot, dcache1, tb, t, into=self.dcache
             )
         self.slots[slot] = req
-        first = int(np.asarray(self._pick(jnp.asarray(logits)))[0])
+        t_eff = req.temperature
+        if t_eff is None:
+            t_eff = self.temperature if self.sampling else 0.0
+        self._slot_temp[slot] = t_eff
+        first = int(np.asarray(
+            self._pick(jnp.asarray(logits), temps=[t_eff])
+        )[0])
         self.cur_tokens[slot] = first
         req.generated.append(first)
         req.t_first_token = time.perf_counter()
@@ -703,15 +723,23 @@ class Scheduler:
             lengths=jnp.asarray(new_len, jnp.int32)
         )
 
-    def _pick(self, logits):
-        """Greedy or temperature/top-k/top-p next-token choice [B,V]->[B]."""
-        if not self.sampling:
-            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    def _pick(self, logits, temps=None):
+        """Per-slot greedy or temperature/top-k/top-p choice [B,V]->[B].
+        temps: per-row effective temperatures (defaults to the live slots'
+        vector); rows with temp <= 0 take the argmax."""
+        if temps is None:
+            temps = self._slot_temp[: logits.shape[0]]
+        temps = np.asarray(temps, np.float32)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if self._key is None or not (temps > 0).any():
+            return greedy
         self._sample_step += 1
-        return engine._sample(
-            logits, self.temperature, self._key, self._sample_step,
+        scaled = logits / jnp.clip(jnp.asarray(temps), 1e-6)[:, None]
+        sampled = engine._sample(
+            scaled, 1.0, self._key, self._sample_step,
             self.top_k, self.top_p,
         )
+        return jnp.where(jnp.asarray(temps) > 0, sampled, greedy)
 
     def _on_token(self, slot: int, token: int):
         """Report the token to the core; on finish, retire the request and
@@ -730,6 +758,7 @@ class Scheduler:
             self.slots[slot] = None
             self._requests.pop(req.uid, None)
             self._callbacks.pop(req.uid, None)
+            self._slot_temp[slot] = 0.0
             self.cache = self.cache._replace(
                 lengths=self.cache.lengths.at[slot].set(0)
             )

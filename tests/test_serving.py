@@ -608,3 +608,40 @@ def test_scheduler_speculative_over_tp_mesh():
     rout = ref.run()
     for u, ru in zip(uids, ruids):
         assert out[u] == rout[ru], (out[u], rout[ru])
+
+
+def test_scheduler_per_request_temperature():
+    """Per-request sampling: a greedy request and a sampled request share
+    the batch; the greedy one matches the plain scheduler exactly, the
+    sampled one is deterministic given the key."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(16)
+    p1 = rng.integers(0, CFG.vocab_size, size=7).astype(np.int32)
+    p2 = rng.integers(0, CFG.vocab_size, size=5).astype(np.int32)
+
+    def run():
+        s = Scheduler(
+            CFG, params, max_batch=2, max_len=64, key=jax.random.PRNGKey(3)
+        )
+        u1 = s.submit(p1, max_new_tokens=5)                 # greedy
+        u2 = s.submit(p2, max_new_tokens=5, temperature=0.9)  # sampled
+        out = s.run()
+        return out[u1], out[u2]
+
+    g1, s1 = run()
+    g2, s2 = run()
+    assert (g1, s1) == (g2, s2)
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64)
+    r1 = ref.submit(p1, max_new_tokens=5)
+    ref.submit(p2, max_new_tokens=5)
+    rout = ref.run()
+    assert g1 == rout[r1]  # greedy slot unaffected by its sampled neighbor
+
+    import pytest as _pytest
+    spec = Scheduler(
+        CFG, params, max_batch=1, max_len=64,
+        draft_cfg=CFG, draft_params=params, key=jax.random.PRNGKey(0),
+    )
+    with _pytest.raises(ValueError):
+        spec.submit(p1, max_new_tokens=2, temperature=0.5)
