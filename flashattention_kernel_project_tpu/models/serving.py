@@ -367,6 +367,24 @@ class Scheduler:
             self._callbacks[uid] = on_token
         return uid
 
+    def cancel(self, uid: int) -> bool:
+        """Abort a request: pending ones leave the queue, running ones are
+        evicted (their slot + pages free immediately). The partial output
+        is discarded — cancelled uids do not appear in run()'s result.
+        Returns False for unknown/already-finished uids."""
+        rc = self.core.cancel(uid)
+        if rc == 0:
+            return False
+        self._requests.pop(uid, None)
+        self._callbacks.pop(uid, None)
+        if rc == 2:
+            for slot, req in enumerate(self.slots):
+                if req is not None and req.uid == uid:
+                    self.slots[slot] = None
+                    self._release_slot(slot)
+                    break
+        return True
+
     def run(self) -> dict[int, list[int]]:
         """Drain all requests; returns {uid: generated tokens}."""
         t0 = time.perf_counter()
@@ -758,27 +776,32 @@ class Scheduler:
             self.slots[slot] = None
             self._requests.pop(req.uid, None)
             self._callbacks.pop(req.uid, None)
-            self._slot_temp[slot] = 0.0
+            self._release_slot(slot)
+
+    def _release_slot(self, slot: int):
+        """Free a slot's device-side state (at retirement or cancel): zero
+        its length so decode masks it, recycle its pages."""
+        self._slot_temp[slot] = 0.0
+        self.cache = self.cache._replace(
+            lengths=self.cache.lengths.at[slot].set(0)
+        )
+        if self.paged:
+            # drop this slot's references; free pages nobody else
+            # holds (and unregister them from the prefix index), then
+            # point the table at the junk page: the retired slot keeps
+            # riding the full-batch decode (masked output), and its
+            # append must not write into pages another request owns
+            dead = []
+            for pid in self._slot_pages[slot]:
+                self._page_refs[pid] -= 1
+                if self._page_refs[pid] == 0:
+                    dead.append(pid)
+                    del self._page_refs[pid]
+                    key = self._page_key.pop(pid, None)
+                    if key is not None:
+                        self._prefix_index.pop(key, None)
+            self._pool.free(dead)
+            self._slot_pages[slot] = []
             self.cache = self.cache._replace(
-                lengths=self.cache.lengths.at[slot].set(0)
+                block_tables=self.cache.block_tables.at[slot].set(0)
             )
-            if self.paged:
-                # drop this slot's references; free pages nobody else
-                # holds (and unregister them from the prefix index), then
-                # point the table at the junk page: the retired slot keeps
-                # riding the full-batch decode (masked output), and its
-                # append must not write into pages another request owns
-                dead = []
-                for pid in self._slot_pages[slot]:
-                    self._page_refs[pid] -= 1
-                    if self._page_refs[pid] == 0:
-                        dead.append(pid)
-                        del self._page_refs[pid]
-                        key = self._page_key.pop(pid, None)
-                        if key is not None:
-                            self._prefix_index.pop(key, None)
-                self._pool.free(dead)
-                self._slot_pages[slot] = []
-                self.cache = self.cache._replace(
-                    block_tables=self.cache.block_tables.at[slot].set(0)
-                )

@@ -130,7 +130,12 @@ def _load_scheduler():
             return _sched_lib
         _sched_tried = True
         so = _SCHED_SO
-        if not os.path.exists(so):
+        stale = (
+            os.path.exists(so)
+            and os.path.exists(_SCHED_SRC)
+            and os.path.getmtime(so) < os.path.getmtime(_SCHED_SRC)
+        )
+        if not os.path.exists(so) or stale:
             cmd = [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
                 _SCHED_SRC, "-o", so,
@@ -160,6 +165,8 @@ def _load_scheduler():
         lib.cbs_pending.argtypes = [vp]
         lib.cbs_slot_uid.restype = i64
         lib.cbs_slot_uid.argtypes = [vp, i32]
+        lib.cbs_cancel.restype = i32
+        lib.cbs_cancel.argtypes = [vp, i64]
         _sched_lib = lib
         return _sched_lib
 
@@ -268,3 +275,18 @@ class BatchSchedulerCore:
             return int(self._lib.cbs_slot_uid(self._h, slot))
         s = self._slots[slot]
         return -1 if s is None else s[0]
+
+    def cancel(self, uid: int) -> int:
+        """Cancel a request: 1 = removed from the pending queue, 2 =
+        evicted from its slot (caller frees device state), 0 = unknown."""
+        if self._lib is not None:
+            return int(self._lib.cbs_cancel(self._h, uid))
+        for i, p in enumerate(self._pending):
+            if p[0] == uid:
+                self._pending.pop(i)
+                return 1
+        for i, s in enumerate(self._slots):
+            if s is not None and s[0] == uid:
+                self._slots[i] = None
+                return 2
+        return 0

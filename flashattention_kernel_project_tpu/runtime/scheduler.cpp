@@ -131,4 +131,26 @@ int64_t cbs_slot_uid(void* h, int32_t slot) {
   return c->slots[static_cast<size_t>(slot)].uid;
 }
 
+// Cancel a request. Returns: 1 = removed from the pending queue,
+// 2 = evicted from its slot (the caller must free device-side state),
+// 0 = unknown uid (already finished or never existed). The freed slot is
+// immediately reusable by the next fill.
+int32_t cbs_cancel(void* h, int64_t uid) {
+  auto* c = static_cast<Core*>(h);
+  std::lock_guard<std::mutex> lock(c->mu);
+  for (auto it = c->pending.begin(); it != c->pending.end(); ++it) {
+    if (it->uid == uid) {
+      c->pending.erase(it);
+      return 1;
+    }
+  }
+  for (Slot& s : c->slots) {
+    if (s.uid == uid) {
+      s = Slot{};
+      return 2;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -645,3 +645,31 @@ def test_scheduler_per_request_temperature():
     )
     with _pytest.raises(ValueError):
         spec.submit(p1, max_new_tokens=2, temperature=0.5)
+
+
+def test_scheduler_cancel():
+    """cancel(): a queued request vanishes; a running one is evicted
+    (slot + pages recycled) and the surviving requests are unaffected."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(17)
+    p = [rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+         for n in (6, 8, 5)]
+
+    sched = Scheduler(CFG, params, max_batch=2, max_len=64, paged=True,
+                      page_size=16)
+    u0 = sched.submit(p[0], max_new_tokens=6)
+    u1 = sched.submit(p[1], max_new_tokens=6)
+    u2 = sched.submit(p[2], max_new_tokens=6)  # queued (2 slots)
+    assert sched.cancel(u2)                    # cancel while pending
+    sched._fill_slots()
+    assert sched.cancel(u1)                    # cancel while running
+    assert not sched.cancel(u1)                # double-cancel: no-op
+    out = sched.run()
+    assert set(out.keys()) == {u0}
+    assert len(out[u0]) == 6
+    assert sched._pool.free_pages == sched._n_pages - 1
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64)
+    r0 = ref.submit(p[0], max_new_tokens=6)
+    rout = ref.run()
+    assert out[u0] == rout[r0]  # the survivor is unaffected by eviction
