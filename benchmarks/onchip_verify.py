@@ -8,9 +8,13 @@ Progress is printed after every stage (remote compiles are slow); run
 under `timeout 1750`. Keeps to ~7 distinct jitted programs.
 """
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 t0 = time.time()
 
