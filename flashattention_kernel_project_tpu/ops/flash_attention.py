@@ -441,8 +441,32 @@ def _fwd(
         window=window,
         sinks=sinks,
     )
-    kv_map = lambda bb, h, i, j: (bb, h // group, j, 0)  # noqa: E731
-    scale_map = lambda bb, h, i, j: (bb, h // group, 0, j)  # noqa: E731
+    # Dead-block DMA elision (same trick as flash_decode's dead-split
+    # elision): KV blocks whose compute is pl.when'd off still cost their
+    # HBM->VMEM copy unless the index_map maps them onto an already-resident
+    # block — consecutive grid steps with an identical block index make
+    # Pallas elide the copy. Causal: blocks past the diagonal clamp to the
+    # q block's last visible KV block; sliding window (sinks=0): blocks
+    # below the band clamp up to its first live block. Live blocks are
+    # never remapped (min/max only move out-of-range j), so numerics are
+    # untouched — the kernel's program_id-based predication decides what
+    # runs.
+    if causal:
+        def _kv_j(i, j):
+            last = jnp.maximum(
+                (i * block_q + q_offset + block_q - 1) // block_k, 0
+            )
+            j = jnp.minimum(j, last)
+            if window is not None and sinks == 0:
+                first = jnp.maximum(
+                    (i * block_q + q_offset - (window - 1)) // block_k, 0
+                )
+                j = jnp.maximum(j, jnp.minimum(first, last))
+            return j
+    else:
+        _kv_j = lambda i, j: j  # noqa: E731
+    kv_map = lambda bb, h, i, j: (bb, h // group, _kv_j(i, j), 0)  # noqa: E731
+    scale_map = lambda bb, h, i, j: (bb, h // group, 0, _kv_j(i, j))  # noqa: E731
     in_specs = [
         pl.BlockSpec((1, 1, block_q, d), lambda bb, h, i, j: (bb, h, i, 0)),
         pl.BlockSpec((1, 1, block_k, d), kv_map),
