@@ -25,6 +25,13 @@ from flashattention_kernel_project_tpu.models.engine import (  # noqa: F401
     speculative_accept,
     speculative_generate,
 )
+from flashattention_kernel_project_tpu.models.moe import (  # noqa: F401
+    MoEConfig,
+    init_moe_params,
+    moe_param_shardings,
+    moe_ffn,
+    make_ep_moe,
+)
 from flashattention_kernel_project_tpu.models.checkpoint import (  # noqa: F401
     restore_checkpoint,
     save_checkpoint,

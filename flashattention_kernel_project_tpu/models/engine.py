@@ -446,6 +446,8 @@ def _mlp(layer, x, axis: str | None = None):
         h2 = tfm.rms_norm(x, layer["rms_mlp"])
         gated = jax.nn.silu(h2 @ layer["w_gate"]) * (h2 @ layer["w_up"])
         return x + _psum(gated @ layer["w_down"], axis)
+    # MoE layers fall back to MoEConfig routing defaults here (top_k=2,
+    # capacity 1.25) — the engine's serving path is spec'd for dense models
     return tfm._mlp_block(layer, x)
 
 

@@ -53,6 +53,15 @@ class TransformerConfig:
     # with attn_window: keep the first attn_sinks tokens always visible
     # (StreamingLLM attention sinks)
     attn_sinks: int = 0
+    # Mixture-of-Experts MLP (models/moe.py): moe_experts > 0 replaces every
+    # layer's SwiGLU with a top-k routed expert MLP (GShard dense dispatch —
+    # one-hot einsums, static capacity). Experts ride the model axis in
+    # param_shardings, so TP meshes get expert parallelism via GSPMD with no
+    # code change. 0 = dense (default, the flagship serving config).
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @property
     def q_dim(self) -> int:
@@ -74,19 +83,31 @@ def init_params(cfg: TransformerConfig, key: jax.Array) -> dict:
     layers = []
     for i in range(cfg.n_layers):
         lk = jax.random.split(keys[i], 7)
-        layers.append(
-            dict(
-                wq=dense(lk[0], (cfg.d_model, cfg.q_dim)),
-                wk=dense(lk[1], (cfg.d_model, cfg.kv_dim)),
-                wv=dense(lk[2], (cfg.d_model, cfg.kv_dim)),
-                wo=dense(lk[3], (cfg.q_dim, cfg.d_model)),
+        layer = dict(
+            wq=dense(lk[0], (cfg.d_model, cfg.q_dim)),
+            wk=dense(lk[1], (cfg.d_model, cfg.kv_dim)),
+            wv=dense(lk[2], (cfg.d_model, cfg.kv_dim)),
+            wo=dense(lk[3], (cfg.q_dim, cfg.d_model)),
+            rms_attn=jnp.ones((cfg.d_model,), jnp.float32),
+            rms_mlp=jnp.ones((cfg.d_model,), jnp.float32),
+        )
+        if cfg.moe_experts:
+            e = cfg.moe_experts
+            layer.update(
+                # router stays fp32: routing decisions are argmaxes over
+                # near-ties, bf16 quantization would flip them
+                moe_router=(jax.random.normal(
+                    lk[4], (cfg.d_model, e), jnp.float32) * cfg.d_model**-0.5),
+                moe_w1=dense(lk[5], (e, cfg.d_model, cfg.d_ff)),
+                moe_w2=dense(lk[6], (e, cfg.d_ff, cfg.d_model)),
+            )
+        else:
+            layer.update(
                 w_gate=dense(lk[4], (cfg.d_model, cfg.d_ff)),
                 w_up=dense(lk[5], (cfg.d_model, cfg.d_ff)),
                 w_down=dense(lk[6], (cfg.d_ff, cfg.d_model)),
-                rms_attn=jnp.ones((cfg.d_model,), jnp.float32),
-                rms_mlp=jnp.ones((cfg.d_model,), jnp.float32),
             )
-        )
+        layers.append(layer)
     return dict(
         embed=dense(keys[-2], (cfg.vocab_size, cfg.d_model), scale=0.02),
         rms_final=jnp.ones((cfg.d_model,), jnp.float32),
@@ -106,12 +127,23 @@ def param_shardings(cfg: TransformerConfig, data_axis="data", model_axis="model"
         wk=P(None, None, model_axis),
         wv=P(None, None, model_axis),
         wo=P(None, model_axis, None),
-        w_gate=P(None, None, model_axis),
-        w_up=P(None, None, model_axis),
-        w_down=P(None, model_axis, None),
         rms_attn=P(None, None),
         rms_mlp=P(None, None),
     )
+    if cfg.moe_experts:
+        # expert parallelism: the expert dim rides the model axis; GSPMD
+        # shards the dispatch/combine einsums and inserts the psum
+        layer.update(
+            moe_router=P(None, None, None),
+            moe_w1=P(None, model_axis, None, None),
+            moe_w2=P(None, model_axis, None, None),
+        )
+    else:
+        layer.update(
+            w_gate=P(None, None, model_axis),
+            w_up=P(None, None, model_axis),
+            w_down=P(None, model_axis, None),
+        )
     return dict(
         embed=P(None, None),
         rms_final=P(None),
@@ -169,7 +201,35 @@ def _attention_block(cfg, layer, x, sin, cos, *, interpret=None):
     return x + o @ layer["wo"]
 
 
-def _mlp_block(layer, x):
+def _moe_mlp_block(layer, x, cfg=None):
+    """MoE MLP residual block -> (out, aux_loss). Routing math lives in
+    models/moe.py (dense dispatch); hyperparams come from cfg when given,
+    else MoEConfig defaults (top_k=2, capacity 1.25) — keep cfg threaded in
+    training so capacity semantics match at serve time."""
+    from flashattention_kernel_project_tpu.models import moe as _moe
+
+    top_k = cfg.moe_top_k if cfg is not None else 2
+    cap_f = cfg.moe_capacity_factor if cfg is not None else 1.25
+    h = rms_norm(x, layer["rms_mlp"])
+    h2 = h.reshape(-1, h.shape[-1]).astype(jnp.float32)
+    t, e = h2.shape[0], layer["moe_w1"].shape[0]
+    probs = jax.nn.softmax(h2 @ layer["moe_router"], axis=-1)
+    cap = _moe.MoEConfig(num_experts=e, top_k=top_k,
+                         capacity_factor=cap_f).capacity(t)
+    dispatch, combine, aux = _moe._top_k_dispatch(probs, top_k, cap)
+    expert_in = jnp.einsum("tec,td->ecd", dispatch, h2,
+                           preferred_element_type=jnp.float32)
+    expert_out = _moe._expert_ffn(
+        layer["moe_w1"].astype(jnp.float32),
+        layer["moe_w2"].astype(jnp.float32), expert_in)
+    out = jnp.einsum("tec,ecd->td", combine, expert_out,
+                     preferred_element_type=jnp.float32)
+    return x + out.reshape(x.shape).astype(x.dtype), aux
+
+
+def _mlp_block(layer, x, cfg=None):
+    if "moe_w1" in layer:
+        return _moe_mlp_block(layer, x, cfg)[0]
     h = rms_norm(x, layer["rms_mlp"])
     gated = jax.nn.silu(h @ layer["w_gate"]) * (h @ layer["w_up"])
     return x + gated @ layer["w_down"]
@@ -183,6 +243,11 @@ def forward(
     interpret: bool | None = None,
 ) -> jax.Array:
     """tokens [B, N] int32 -> logits [B, N, vocab] fp32 (causal LM)."""
+    return _forward_aux(cfg, params, tokens, interpret=interpret)[0]
+
+
+def _forward_aux(cfg, params, tokens, *, interpret=None):
+    """forward + mean MoE load-balancing aux loss (0.0 for dense cfgs)."""
     b, n = tokens.shape
     x = params["embed"][tokens]
     positions = jnp.arange(n)[None, :]
@@ -190,21 +255,25 @@ def forward(
 
     def body(x, layer):
         x = _attention_block(cfg, layer, x, sin, cos, interpret=interpret)
-        x = _mlp_block(layer, x)
-        return x, None
+        if cfg.moe_experts:
+            x, aux = _moe_mlp_block(layer, x, cfg)
+        else:
+            x, aux = _mlp_block(layer, x), jnp.float32(0.0)
+        return x, aux
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, aux = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["rms_final"])
-    return (x @ params["embed"].T).astype(jnp.float32)
+    return (x @ params["embed"].T).astype(jnp.float32), jnp.mean(aux)
 
 
 def loss_fn(cfg, params, tokens, *, interpret=None) -> jax.Array:
-    """Next-token cross-entropy (mean over all positions)."""
-    logits = forward(cfg, params, tokens, interpret=interpret)
+    """Next-token cross-entropy (mean over all positions); MoE configs add
+    cfg.moe_aux_weight x the mean load-balancing loss (Switch eq. 4)."""
+    logits, aux = _forward_aux(cfg, params, tokens, interpret=interpret)
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    return jnp.mean(nll) + cfg.moe_aux_weight * aux
 
 
 def sgd_train_step(cfg, params, tokens, lr=1e-3, *, interpret=None):

@@ -93,7 +93,7 @@ def matmul(
     a: jax.Array,
     b: jax.Array,
     *,
-    block_m: int = 1024,
+    block_m: int | None = None,
     block_n: int = 1024,
     block_k: int = 512,
     out_dtype=jnp.float32,
@@ -109,6 +109,14 @@ def matmul(
     """
     if interpret is None:
         interpret = default_interpret()
+    if block_m is None:
+        # fp32 tiles are 2x the bytes of bf16, and the HIGHEST-precision
+        # 3-pass MXU decomposition adds its own scratch: (1024,1024) fp32
+        # blocks hit 20M and (512,1024) still 16.2M vs the 16M scoped VMEM
+        # limit, so the fp32 rung takes the quarter-size block.
+        block_m = 512 if a.dtype.itemsize >= 4 else 1024
+        if a.dtype.itemsize >= 4:
+            block_n = min(block_n, 512)
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, (a.shape, b.shape)
@@ -182,7 +190,7 @@ def batched_matmul(
     a: jax.Array,
     b: jax.Array,
     *,
-    block_m: int = 1024,
+    block_m: int | None = None,
     block_n: int = 1024,
     block_k: int = 512,
     out_dtype=jnp.float32,
@@ -193,6 +201,10 @@ def batched_matmul(
     gemm_4_9_tensorcore_batched.cu:50-66)."""
     if interpret is None:
         interpret = default_interpret()
+    if block_m is None:
+        block_m = 512 if a.dtype.itemsize >= 4 else 1024  # see matmul
+        if a.dtype.itemsize >= 4:
+            block_n = min(block_n, 512)
     bsz, m, k = a.shape
     _, k2, n = b.shape
     assert k == k2

@@ -41,7 +41,7 @@ def _stage_forward(cfg, layers_slab, x, sin, cos, *, interpret, remat):
 
     def body(x, layer):
         x = tfm._attention_block(cfg, layer, x, sin, cos, interpret=interpret)
-        x = tfm._mlp_block(layer, x)
+        x = tfm._mlp_block(layer, x, cfg)
         return x, None
 
     if remat:

@@ -57,31 +57,65 @@ def _tp_forward(cfg, params, tokens, *, model_axis, interpret=None,
         # row-parallel wo: partial sums -> psum over the model axis
         x = x + jax.lax.psum(o @ layer["wo"], model_axis)
 
+        if "moe_w1" in layer:
+            # expert parallelism under TP: moe_w1/w2 arrive expert-sliced on
+            # the model axis; router + dispatch are replicated (the router is
+            # tiny), each shard runs its local experts, one psum combines —
+            # same algebra as models.moe.make_ep_moe
+            from flashattention_kernel_project_tpu.models import moe as _moe
+
+            h2 = tfm.rms_norm(x, layer["rms_mlp"])
+            h2f = h2.reshape(-1, cfg.d_model).astype(jnp.float32)
+            t = h2f.shape[0]
+            probs = jax.nn.softmax(h2f @ layer["moe_router"], axis=-1)
+            cap = _moe.MoEConfig(
+                num_experts=cfg.moe_experts, top_k=cfg.moe_top_k,
+                capacity_factor=cfg.moe_capacity_factor).capacity(t)
+            dispatch, combine, aux = _moe._top_k_dispatch(
+                probs, cfg.moe_top_k, cap)
+            e_local = layer["moe_w1"].shape[0]
+            off = jax.lax.axis_index(model_axis) * e_local
+            disp_l = jax.lax.dynamic_slice_in_dim(dispatch, off, e_local, 1)
+            comb_l = jax.lax.dynamic_slice_in_dim(combine, off, e_local, 1)
+            expert_in = jnp.einsum("tec,td->ecd", disp_l, h2f,
+                                   preferred_element_type=jnp.float32)
+            expert_out = _moe._expert_ffn(
+                layer["moe_w1"].astype(jnp.float32),
+                layer["moe_w2"].astype(jnp.float32), expert_in)
+            part = jnp.einsum("tec,ecd->td", comb_l, expert_out,
+                              preferred_element_type=jnp.float32)
+            out = jax.lax.psum(part, model_axis).reshape(h2.shape)
+            return x + out.astype(x.dtype), aux
+
         h2 = tfm.rms_norm(x, layer["rms_mlp"])
         gated = jax.nn.silu(h2 @ layer["w_gate"]) * (h2 @ layer["w_up"])
-        return x + jax.lax.psum(gated @ layer["w_down"], model_axis)
+        out = x + jax.lax.psum(gated @ layer["w_down"], model_axis)
+        return out, jnp.float32(0.0)
 
     if remat:
         layer_fn = jax.checkpoint(layer_fn)
     n_layers = params["layers"]["wq"].shape[0]
+    aux_total = jnp.float32(0.0)
     for i in range(n_layers):
         layer = jax.tree.map(lambda p: p[i], params["layers"])
-        x = layer_fn(x, layer)
+        x, aux = layer_fn(x, layer)
+        aux_total = aux_total + aux
 
     x = tfm.rms_norm(x, params["rms_final"])
-    return (x @ params["embed"].T).astype(jnp.float32)
+    logits = (x @ params["embed"].T).astype(jnp.float32)
+    return logits, aux_total / n_layers
 
 
 def _tp_loss(cfg, params, tokens, *, model_axis, interpret=None,
              remat=False):
-    logits = _tp_forward(
+    logits, aux = _tp_forward(
         cfg, params, tokens, model_axis=model_axis, interpret=interpret,
         remat=remat,
     )
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return jnp.mean(nll)
+    return jnp.mean(nll) + cfg.moe_aux_weight * aux
 
 
 def make_train_step(
@@ -185,7 +219,7 @@ def _cp_forward(cfg, params, tokens, *, ring, n_ring, seq_axis, interpret=None):
             v.transpose(0, 2, 1, 3),
         )
         x = x + o.transpose(0, 2, 1, 3).reshape(b, n_loc, cfg.q_dim) @ layer["wo"]
-        x = tfm._mlp_block(layer, x)
+        x = tfm._mlp_block(layer, x, cfg)
 
     x = tfm.rms_norm(x, params["rms_final"])
     logits = (x @ params["embed"].T).astype(jnp.float32)
