@@ -77,12 +77,18 @@ def main():
     flops = 4 * B * H * N * N * D * (0.5 if CAUSAL else 1.0)
     on_tpu = platform.has_tpu()
     if on_tpu:
-        # median of 3 rounds; the tunnel jitters and sporadically slow rounds
-        # bias any single measurement upward
+        # calibrated: device-trace timing (hardware timestamps inside one
+        # chained dispatch — immune to the tunnel's 100s-of-ms dispatch
+        # jitter, which biased round-1 host-delta numbers ~8-17% OPTIMISTIC:
+        # three GEMM rungs read >1.0x roofline). Median of 3 traces.
+        from flashattention_kernel_project_tpu.utils.benchmarking import (
+            benchmark_device,
+        )
+
         per_iters = []
         for _ in range(3):
-            r = benchmark_chained(
-                fa, q, k, v, name="fa", flops=flops, reps=4, min_delta_s=2.0
+            r = benchmark_device(
+                fa, q, k, v, name="fa", flops=flops, min_device_s=0.3
             )
             per_iters.append(r.mean_ms)
         per_iters.sort()

@@ -205,7 +205,7 @@ def prefill(
             o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"],
             axis,
         )
-        x = _mlp(layer, x, axis)
+        x = _mlp(layer, x, axis, cfg)
 
         cache_view = KVCache(k_all, v_all, ks_all, vs_all, cache.lengths)
         k_all, v_all, ks_all, vs_all = _quantize_and_write(
@@ -303,7 +303,7 @@ def extend(
             o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim) @ layer["wo"],
             axis,
         )
-        x = _mlp(layer, x, axis)
+        x = _mlp(layer, x, axis, cfg)
 
     x = tfm.rms_norm(x, params["rms_final"])
     if all_logits:
@@ -433,7 +433,7 @@ def _psum(t, axis: str | None):
     return jax.lax.psum(t, axis) if axis else t
 
 
-def _mlp(layer, x, axis: str | None = None):
+def _mlp(layer, x, axis: str | None = None, cfg=None):
     if "w_gate_up" in layer or "w_gate_up_q" in layer:
         h = tfm.rms_norm(x, layer["rms_mlp"])
         gu = _proj(h, layer, "w_gate_up", x.dtype)
@@ -446,9 +446,9 @@ def _mlp(layer, x, axis: str | None = None):
         h2 = tfm.rms_norm(x, layer["rms_mlp"])
         gated = jax.nn.silu(h2 @ layer["w_gate"]) * (h2 @ layer["w_up"])
         return x + _psum(gated @ layer["w_down"], axis)
-    # MoE layers fall back to MoEConfig routing defaults here (top_k=2,
-    # capacity 1.25) — the engine's serving path is spec'd for dense models
-    return tfm._mlp_block(layer, x)
+    # MoE routing hyperparams (top_k, capacity) come from cfg so a model
+    # trained with non-default values serves with the same dispatch
+    return tfm._mlp_block(layer, x, cfg)
 
 
 @functools.partial(
@@ -508,7 +508,7 @@ def decode_step(
         x = x + _psum(
             _proj(o.reshape(b, 1, cfg.q_dim), layer, "wo", x.dtype), axis
         )
-        x = _mlp(layer, x, axis)
+        x = _mlp(layer, x, axis, cfg)
 
     x = tfm.rms_norm(x, params["rms_final"])
     logits = _lm_head(params, x[:, 0])
@@ -943,7 +943,7 @@ def decode_step_paged(
         x = x + _psum(
             _proj(o.reshape(b, 1, cfg.q_dim), layer, "wo", x.dtype), axis
         )
-        x = _mlp(layer, x, axis)
+        x = _mlp(layer, x, axis, cfg)
     x = tfm.rms_norm(x, params["rms_final"])
     logits = _lm_head(params, x[:, 0])
     return logits, PagedKVCache(

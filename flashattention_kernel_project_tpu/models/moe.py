@@ -175,6 +175,10 @@ def make_ep_moe(mesh: Mesh, cfg: MoEConfig, *,
                              preferred_element_type=jnp.float32)
         out = jax.lax.psum(partial, expert_axis)
         out = out.reshape(orig_shape).astype(x.dtype)
+        if return_aux and data_axis:
+            # each data shard routes its own tokens -> per-shard aux; the
+            # out_spec declares aux replicated, so make it actually so
+            aux = jax.lax.pmean(aux, data_axis)
         return (out, aux) if return_aux else out
 
     pspecs = moe_param_shardings(cfg, expert_axis)

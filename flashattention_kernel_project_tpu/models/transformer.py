@@ -98,8 +98,12 @@ def init_params(cfg: TransformerConfig, key: jax.Array) -> dict:
                 # near-ties, bf16 quantization would flip them
                 moe_router=(jax.random.normal(
                     lk[4], (cfg.d_model, e), jnp.float32) * cfg.d_model**-0.5),
-                moe_w1=dense(lk[5], (e, cfg.d_model, cfg.d_ff)),
-                moe_w2=dense(lk[6], (e, cfg.d_ff, cfg.d_model)),
+                # fan-in scales: dense()'s shape[0]**-0.5 default would use
+                # num_experts as fan-in for these 3-D weights
+                moe_w1=dense(lk[5], (e, cfg.d_model, cfg.d_ff),
+                             scale=cfg.d_model**-0.5),
+                moe_w2=dense(lk[6], (e, cfg.d_ff, cfg.d_model),
+                             scale=cfg.d_ff**-0.5),
             )
         else:
             layer.update(

@@ -37,17 +37,21 @@ from flashattention_kernel_project_tpu.models import transformer as tfm
 
 
 def _stage_forward(cfg, layers_slab, x, sin, cos, *, interpret, remat):
-    """Run this stage's local layer slab on activations x [mb, n, d]."""
+    """Run this stage's local layer slab on activations x [mb, n, d].
+    Returns (x, slab-mean MoE aux loss) — aux is 0 for dense layers."""
 
     def body(x, layer):
         x = tfm._attention_block(cfg, layer, x, sin, cos, interpret=interpret)
-        x = tfm._mlp_block(layer, x, cfg)
-        return x, None
+        if "moe_w1" in layer:
+            x, aux = tfm._moe_mlp_block(layer, x, cfg)
+        else:
+            x, aux = tfm._mlp_block(layer, x, cfg), jnp.float32(0.0)
+        return x, aux
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, layers_slab)
-    return x
+    x, aux = jax.lax.scan(body, x, layers_slab)
+    return x, jnp.mean(aux)
 
 
 def pp_loss_fn(
@@ -79,9 +83,14 @@ def pp_loss_fn(
         mb_idx = jnp.clip(t, 0, n_micro - 1)
         toks_in = micro_tokens[mb_idx]
         x = jnp.where(stage == 0, params["embed"][toks_in], x)
-        y = _stage_forward(
+        y, aux = _stage_forward(
             cfg, params["layers"], x, sin, cos,
             interpret=interpret, remat=remat,
+        )
+        # this stage holds microbatch t - stage; bubble ticks run on
+        # garbage, so their router-balance aux must not enter the loss
+        aux = jnp.where(
+            jnp.logical_and(t - stage >= 0, t - stage < n_micro), aux, 0.0
         )
         # last stage: head + per-microbatch NLL, valid once the pipe is full
         out_idx = t - (n_stages - 1)
@@ -96,14 +105,17 @@ def pp_loss_fn(
         # rotate activations to the next stage (ICI neighbour ring)
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
         x_next = jax.lax.ppermute(y, pipe_axis, perm)
-        return x_next, (nll_sum, cnt)
+        return x_next, (nll_sum, cnt, aux)
 
     x0 = jnp.zeros((mb, n, cfg.d_model), cfg.dtype)
-    _, (nll_sums, cnts) = jax.lax.scan(tick, x0, jnp.arange(ticks))
+    _, (nll_sums, cnts, auxs) = jax.lax.scan(tick, x0, jnp.arange(ticks))
     # total over ticks lives on the last stage only; share it
     total = jax.lax.psum(jnp.sum(nll_sums), pipe_axis)
     count = jax.lax.psum(jnp.sum(cnts), pipe_axis)
-    return total / count.astype(jnp.float32)
+    # each stage's slab-mean aux over its n_micro valid ticks; sum over
+    # stages of slab means = n_stages * layer mean -> normalize both out
+    aux = jax.lax.psum(jnp.sum(auxs), pipe_axis) / (n_micro * n_stages)
+    return total / count.astype(jnp.float32) + cfg.moe_aux_weight * aux
 
 
 def pp_param_specs(pipe_axis: str = "pipe"):

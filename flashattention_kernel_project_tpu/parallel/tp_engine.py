@@ -366,7 +366,7 @@ def make_sp_decode_step(
             out = merge_partials(mm, ll, yy)  # [B, Hkv, G, D]
             o = out.reshape(b, cfg.q_dim).astype(x.dtype)
             x = x + engine._proj(o[:, None], layer, "wo", x.dtype)
-            x = engine._mlp(layer, x)
+            x = engine._mlp(layer, x, cfg=cfg)
         x = tfm.rms_norm(x, params["rms_final"])
         logits = engine._lm_head(params, x[:, 0])
         return logits, engine.KVCache(

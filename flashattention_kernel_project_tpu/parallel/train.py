@@ -205,6 +205,7 @@ def _cp_forward(cfg, params, tokens, *, ring, n_ring, seq_axis, interpret=None):
     sin, cos = tfm.rope_tables(cfg, positions)
 
     n_layers = params["layers"]["wq"].shape[0]
+    aux_total = jnp.float32(0.0)
     for i in range(n_layers):
         layer = jax.tree.map(lambda p: p[i], params["layers"])
         h = tfm.rms_norm(x, layer["rms_attn"])
@@ -219,18 +220,22 @@ def _cp_forward(cfg, params, tokens, *, ring, n_ring, seq_axis, interpret=None):
             v.transpose(0, 2, 1, 3),
         )
         x = x + o.transpose(0, 2, 1, 3).reshape(b, n_loc, cfg.q_dim) @ layer["wo"]
-        x = tfm._mlp_block(layer, x, cfg)
+        if "moe_w1" in layer:
+            x, aux = tfm._moe_mlp_block(layer, x, cfg)
+            aux_total = aux_total + aux
+        else:
+            x = tfm._mlp_block(layer, x, cfg)
 
     x = tfm.rms_norm(x, params["rms_final"])
     logits = (x @ params["embed"].T).astype(jnp.float32)
-    return logits, tok
+    return logits, tok, aux_total / n_layers
 
 
 def _cp_loss(cfg, params, tokens, *, ring, n_ring, seq_axis, interpret=None):
     """Global next-token NLL from sequence-sharded logits: per-shard
     (sum, count) combined with psum (shard token counts differ — the last
     global position has no label — so a pmean of means would be biased)."""
-    logits, _ = _cp_forward(
+    logits, _, aux = _cp_forward(
         cfg, params, tokens, ring=ring, n_ring=n_ring, seq_axis=seq_axis,
         interpret=interpret,
     )
@@ -246,7 +251,10 @@ def _cp_loss(cfg, params, tokens, *, ring, n_ring, seq_axis, interpret=None):
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     loss_sum = jax.lax.psum(jnp.sum(nll * valid), seq_axis)
     count = jax.lax.psum(b * jnp.sum(valid), seq_axis)
-    return loss_sum / count
+    # each seq shard routes different tokens -> different aux; shards carry
+    # equal token counts so the global balance loss is their mean
+    aux = jax.lax.pmean(aux, seq_axis)
+    return loss_sum / count + cfg.moe_aux_weight * aux
 
 
 def make_cp_train_step(

@@ -135,6 +135,122 @@ def benchmark_chained(
     )
 
 
+def _trace_device_us(trace_dir: str) -> tuple[float, dict[str, float]]:
+    """Parse a jax.profiler trace dir -> (outer program device us, per-op us).
+
+    Ground truth for kernel timing: device-side event durations come from
+    hardware timestamps and are immune to the axon tunnel's 100s-of-ms
+    dispatch jitter (which biased host-side delta timing ~8-17% optimistic —
+    three round-1 GEMM rungs read >1.0x roofline, physically impossible).
+    The outer `jit_*` event of a single dispatch encloses the whole chained
+    fori_loop, so dur/n is exact per-iteration device time.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+
+    files = sorted(
+        glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True),
+        key=os.path.getmtime,
+    )
+    if not files:
+        raise FileNotFoundError(f"no trace.json.gz under {trace_dir}")
+    with gzip.open(files[-1]) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    tpu = {p for p, name in pids.items() if "TPU" in name}
+    dur: dict[str, float] = collections.defaultdict(float)
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in tpu:
+            dur[e["name"]] += e.get("dur", 0.0)
+    jit_total = sum(v for k, v in dur.items() if k.startswith("jit"))
+    if jit_total <= 0.0:  # e.g. named differently; fall back to the loop op
+        jit_total = dur.get("while", 0.0)
+    if jit_total <= 0.0:
+        raise ValueError(f"no jit/while device event in {files[-1]}")
+    return jit_total, dict(dur)
+
+
+def benchmark_device(
+    fn: Callable[..., Any],
+    *args: Any,
+    name: str = "kernel",
+    chain: Callable[..., tuple] | None = None,
+    iters: int = 30,
+    min_device_s: float = 0.05,
+    flops: int | None = None,
+    bytes_accessed: int | None = None,
+    trace_dir: str | None = None,
+) -> BenchResult:
+    """Device-trace kernel timing — the calibrated primary method on TPU.
+
+    Runs `iters` chained iterations of fn inside ONE jitted fori_loop
+    dispatch (output fed back as the next input, so iterations are
+    data-dependent and provably serialized), captures a jax.profiler trace
+    of that single dispatch, and reads the program's device execution time
+    from the trace. No host clocks are involved, so tunnel dispatch jitter
+    cannot bias the number in either direction.
+
+    iters is grown so total device time is at least `min_device_s` (trace
+    timestamp granularity is ~1 us; 50 ms total keeps quantization and any
+    per-dispatch ramp effects under 0.1%).
+    """
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    if chain is None:
+        chain = lambda out, a: (out,) + tuple(a[1:])  # noqa: E731
+
+    @jax.jit
+    def run(n, *a):
+        def body(_, a):
+            return tuple(chain(fn(*a), a))
+
+        return jax.lax.fori_loop(0, n, body, tuple(a), unroll=False)
+
+    def dispatch(n):
+        np.asarray(jax.tree.leaves(run(n, *args))[0])
+
+    dispatch(1)  # compile + warm
+    # pilot (host-timed, rough): size iters so device total >= min_device_s
+    import time as _time
+
+    t0 = _time.perf_counter()
+    dispatch(iters)
+    rough = _time.perf_counter() - t0  # includes ~140ms tunnel overhead
+    per_iter_rough = max(rough - 0.1, 1e-4) / iters
+    need = int(min_device_s / per_iter_rough) + 1
+    n = max(iters, min(need, 200 * iters))
+
+    owned = trace_dir is None
+    tdir = trace_dir or tempfile.mkdtemp(prefix="fkp_devbench_")
+    try:
+        with jax.profiler.trace(tdir):
+            dispatch(n)
+        total_us, _ = _trace_device_us(tdir)
+    finally:
+        if owned:
+            shutil.rmtree(tdir, ignore_errors=True)
+    per_iter_ms = total_us / n / 1e3
+    return BenchResult(
+        name=name,
+        mean_ms=per_iter_ms,
+        min_ms=per_iter_ms,
+        iters=n,
+        flops=flops,
+        bytes_accessed=bytes_accessed,
+    )
+
+
 def capture_trace(
     fn: Callable[..., Any],
     *args: Any,
