@@ -34,7 +34,11 @@ def main():
     import jax.numpy as jnp
     from flashattention_kernel_project_tpu import ops
     from flashattention_kernel_project_tpu.ops import probes
-    from flashattention_kernel_project_tpu.utils.benchmarking import benchmark_chained
+    from flashattention_kernel_project_tpu.utils import platform
+    from flashattention_kernel_project_tpu.utils.benchmarking import (
+        benchmark_chained,
+        benchmark_device,
+    )
 
     B, H, HKV, N, D = 1, 16, 4, args.seq, 128
     rng = np.random.default_rng(0)
@@ -53,26 +57,39 @@ def main():
         ("pv_only (MXU stage 3)", probes.pv_probe),
         ("softmax_chain (VPU stage 2)", probes.softmax_chain_probe),
     ]
+    def bench(fn, *a, name, chain=None):
+        # device-trace timing on chip (calibrated; see utils.benchmarking)
+        if platform.has_tpu():
+            return benchmark_device(fn, *a, name=name, chain=chain)
+        return benchmark_chained(fn, *a, name=name, chain=chain,
+                                 n_pair=n_pair)
+
     results = {}
     for name, fn in stages:
-        r = benchmark_chained(
+        r = bench(
             functools.partial(fn, block_q=bq, block_k=bk),
-            q, k, v, name=name, chain=chain, n_pair=n_pair,
+            q, k, v, name=name, chain=chain,
         )
         results[name] = r.mean_ms
         print(f"{name:32s} {r.mean_ms:8.3f} ms", flush=True)
 
-    r = benchmark_chained(
-        functools.partial(ops.flash_attention, causal=False, block_q=bq, block_k=bk),
-        q, k, v, name="fused full (non-causal)", n_pair=n_pair,
-    )
-    results["fused"] = r.mean_ms
-    print(f"{'fused full (non-causal)':32s} {r.mean_ms:8.3f} ms")
     flops = 4 * B * H * N * N * D
-    print(f"{'fused non-causal throughput':32s} {flops / (r.mean_ms * 1e-3) / 1e12:8.1f} TFLOP/s")
-    serial = sum(v for kk, v in results.items() if kk != "fused")
-    print(f"sum of stages {serial:.3f} ms vs fused {results['fused']:.3f} ms "
-          f"-> overlap factor {serial / results['fused']:.2f}x")
+    for label, kw in (
+        ("fused full (non-causal)", dict(causal=False)),
+        ("fused full fast (stable=False)", dict(causal=False, stable=False)),
+    ):
+        r = bench(
+            functools.partial(ops.flash_attention, block_q=bq, block_k=bk,
+                              **kw),
+            q, k, v, name=label,
+        )
+        results[label] = r.mean_ms
+        print(f"{label:32s} {r.mean_ms:8.3f} ms "
+              f"{flops / (r.mean_ms * 1e-3) / 1e12:8.1f} TFLOP/s", flush=True)
+    serial = sum(results[kk] for kk, _ in stages)
+    fused = results["fused full (non-causal)"]
+    print(f"sum of stages {serial:.3f} ms vs fused {fused:.3f} ms "
+          f"-> overlap factor {serial / fused:.2f}x")
 
 
 if __name__ == "__main__":

@@ -77,6 +77,12 @@ def build_benches(quick: bool, long: bool = False):
         functools.partial(ops.matmul_int8_weights, out_dtype=jnp.bfloat16),
         (a16, w8, w8s), flops=2 * m**3)
 
+    wf8, wf8s = ops.quantize_fp8_weights(
+        jnp.asarray(rng.standard_normal((m, m)), jnp.float32))
+    reg("gemm_fp8_weights_4096",
+        functools.partial(ops.matmul_fp8_weights, out_dtype=jnp.bfloat16),
+        (a16, wf8, wf8s), flops=2 * m**3)
+
     # fully-quantized GEMM: both operands int8 on the MXU — judged against
     # the int8 roofline (v5e: 394 TOPS, 2x bf16). Exact int32 accumulate,
     # dequant epilogue.

@@ -37,8 +37,10 @@ from flashattention_kernel_project_tpu.ops.quant import (  # noqa: F401
     quantize_fp8,
     dequantize_fp8,
     quantize_kv,
+    quantize_fp8_weights,
     matmul_int8,
     matmul_int8_weights,
+    matmul_fp8_weights,
 )
 from flashattention_kernel_project_tpu.ops.paged_decode import (  # noqa: F401,E402
     PagePool,

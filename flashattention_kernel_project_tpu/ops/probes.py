@@ -126,6 +126,58 @@ def _qk_kernel_factory(*, n_kv, block_q, block_k, d):
     return kernel
 
 
+def qk_kt_probe(q, k, v, *, block_q=512, block_k=512, interpret=None):
+    """QK^T with K pre-transposed to [B, Hkv, D, S]: the dot becomes a plain
+    NN matmul (contract q's lanes against kt's sublanes) instead of the NT
+    form that contracts K's lane dim — A/B for whether Mosaic's NT matmul
+    leaves MXU throughput on the table (the reference's v8 asked the same
+    question with a host-side K transpose,
+    flashattn_streaming_16x16_mw_v8.cu:2-6). `k` arrives [B, Hkv, S, D] and
+    is transposed here (XLA relayout outside the kernel, O(S*D) per head)."""
+    if interpret is None:
+        interpret = default_interpret()
+    b, hq, n, d = q.shape
+    _, hkv, s, _ = k.shape
+    group = hq // hkv
+    n_q, n_kv = n // block_q, s // block_k
+    kt = k.swapaxes(-1, -2)  # [B, Hkv, D, S]
+
+    def kernel(q_ref, kt_ref, o_ref, acc_ref):
+        j = pl.program_id(3)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        s_ = jax.lax.dot_general(
+            q_ref[0, 0], kt_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += jnp.sum(s_, axis=-1, keepdims=True)
+
+        @pl.when(j == n_kv - 1)
+        def _():
+            o_ref[0, 0] = acc_ref[:]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, hq, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, hh, i, j: (bb, hh, i, 0)),
+            pl.BlockSpec(
+                (1, 1, d, block_k), lambda bb, hh, i, j: (bb, hh // group, 0, j)
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, d), lambda bb, hh, i, j: (bb, hh, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, n, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        **_std_grid(b, hq, n_q, n_kv),
+        interpret=interpret,
+    )(q, kt)
+
+
 def _pv_kernel_factory(*, n_kv, block_q, block_k, d):
     def kernel(q_ref, k_ref, v_ref, o_ref, acc_ref):
         j = pl.program_id(3)

@@ -141,6 +141,78 @@ def matmul_int8_weights(
     return out[:m, :n]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_m", "block_n", "block_k", "out_dtype", "interpret"),
+)
+def matmul_fp8_weights(
+    x: jax.Array,
+    w_q: jax.Array,
+    w_scale: jax.Array,
+    *,
+    block_m: int = 1024,
+    block_n: int = 1024,
+    block_k: int = 512,
+    out_dtype=jnp.float32,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """out = x @ (w_q * w_scale), w_q stored FP8 (e4m3) — the FP8 half of
+    BASELINE's "INT8/FP8 weight-only" north star, sharing the int8 path's
+    kernel: fp8 tile cast to bf16 in VMEM (v5e has no fp8 MXU mode; the win
+    is the halved weight HBM stream), per-column scale on the fp32
+    accumulator in the epilogue — the reference's fused-epilogue slot
+    (tensorcore_gemm_fused_epilogue.cu:91-128).
+
+    x: [M, K] (any float dtype), w_q: [K, N] float8_e4m3fn,
+    w_scale: [1, N] f32 (see quantize_fp8_weights).
+    """
+    assert w_q.dtype == jnp.float8_e4m3fn, w_q.dtype
+    if interpret is None:
+        interpret = default_interpret()
+    m, k = x.shape
+    _, n = w_q.shape
+    assert w_scale.shape == (1, n), w_scale.shape
+    block_m = min(block_m, m)
+    block_n = min(block_n, n)
+    block_k = min(block_k, k)
+    x = _pad_to(x, (block_m, block_k))
+    w_q = _pad_to(w_q, (block_k, block_n))
+    w_scale = _pad_to(w_scale, (1, block_n))
+    mp, kp = x.shape
+    np_ = w_q.shape[1]
+    n_k = kp // block_k
+
+    out = pl.pallas_call(
+        functools.partial(_matmul_w8_kernel, n_k=n_k),
+        grid=(mp // block_m, np_ // block_n, n_k),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk)),
+            pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j)),
+            pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * kp,
+            bytes_accessed=mp * kp * 2 + kp * np_
+            + mp * np_ * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_q, w_scale)
+    return out[:m, :n]
+
+
+def quantize_fp8_weights(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-output-column FP8 (e4m3) weight quantization for
+    matmul_fp8_weights: w [K, N] -> (w_q fp8 [K, N], scale f32 [1, N])."""
+    return quantize_fp8_tokenwise(w, axis=0)
+
+
 def _matmul_i8_kernel(a_ref, b_ref, as_ref, bs_ref, o_ref, acc_ref, *, n_k):
     k = pl.program_id(2)
 

@@ -67,3 +67,31 @@ def test_matmul_int8_both_operands(rng):
     assert_rel_l2(np.asarray(out), ref, 1e-5)
     # and the quantization error vs full precision stays int8-sized
     assert_rel_l2(np.asarray(out), a @ b, 2e-2)
+
+
+def test_matmul_fp8_weights(rng):
+    """FP8 (e4m3) weight-only matmul vs the dequantized-weights oracle at
+    the same bit-width (BASELINE's INT8/FP8 weight-only north star)."""
+    m, k, n = 128, 256, 256
+    x = rng.standard_normal((m, k), dtype=np.float32)
+    w = rng.standard_normal((k, n), dtype=np.float32)
+    w_q, w_scale = ops.quantize_fp8_weights(jnp.asarray(w))
+    assert w_q.dtype == jnp.float8_e4m3fn and w_scale.shape == (1, n)
+    got = ops.matmul_fp8_weights(
+        jnp.asarray(x), w_q, w_scale, block_m=128, block_n=128, block_k=128
+    )
+    w_deq = np.asarray(w_q, np.float32) * np.asarray(w_scale)
+    assert_rel_l2(got, oracles.gemm(x, w_deq), tol=1e-2)
+
+
+def test_matmul_fp8_weights_ragged_shapes(rng):
+    """Non-multiple-of-block shapes exercise the padding path."""
+    m, k, n = 100, 200, 130
+    x = rng.standard_normal((m, k), dtype=np.float32)
+    w = rng.standard_normal((k, n), dtype=np.float32)
+    w_q, w_scale = ops.quantize_fp8_weights(jnp.asarray(w))
+    got = ops.matmul_fp8_weights(
+        jnp.asarray(x), w_q, w_scale, block_m=128, block_n=128, block_k=128
+    )
+    w_deq = np.asarray(w_q, np.float32) * np.asarray(w_scale)
+    assert_rel_l2(got, oracles.gemm(x, w_deq), tol=1e-2)
