@@ -95,6 +95,7 @@ def _fwd_kernel(
     window: int | None = None,
     sinks: int = 0,
     diag_subs: int = 1,
+    g_stack: int = 1,
 ):
     # quant=True adds per-token dequant scale refs for an 8-bit KV cache
     # (int8 / fp8_e4m3): dequant is fused at the K/V load stage — the slot
@@ -110,6 +111,21 @@ def _fwd_kernel(
         ks_ref = vs_ref = None
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
+    # g_stack > 1: the GQA group's q-heads are STACKED into the q tile
+    # ([G, block_q, d] block -> [G*block_q, d] rows) so one program feeds
+    # the MXU group-times the work against ONE K/V stream — the measured
+    # per-program amortization lever (qk probe: 0.73 -> 0.82 roofline going
+    # 512 -> 1024 q rows) plus a group-fold drop in KV HBM traffic. All
+    # heads share q positions, so causal/tail masks use row % block_q.
+    rows = g_stack * block_q
+
+    def _q_tile():
+        qv = q_ref[0, 0]
+        return qv.reshape(rows, qv.shape[-1]) if g_stack > 1 else qv
+
+    def _row_iota(n_cols):
+        it = jax.lax.broadcasted_iota(jnp.int32, (rows, n_cols), 0)
+        return jax.lax.rem(it, block_q) if g_stack > 1 else it
     # NOTE: bf16 score tiles were tried and are impossible — Mosaic requires
     # 32-bit matmul accumulators ("Expected matmul acc to be 32-bit").
     # scores arrive in the log2 domain (wrapper folds sm_scale * log2(e) into
@@ -162,7 +178,7 @@ def _fwd_kernel(
         # sm_scale is pre-folded into q by the wrapper: one fewer VPU pass
         # over the [block_q, block_k] score tile (the VPU passes over that
         # tile are the kernel's measured bottleneck — docs/perf_journal.md).
-        q = q_ref[0, 0]  # [block_q, d]
+        q = _q_tile()  # [rows, d]
         k = k_ref[0, 0]  # [block_k, d]
         v = v_ref[0, 0]  # [block_k, d_v]
         if quant:
@@ -206,14 +222,10 @@ def _fwd_kernel(
         if masked:
             row = None
             if causal:
-                row = (
-                    q_idx * block_q
-                    + q_offset
-                    + jax.lax.broadcasted_iota(jnp.int32, (block_q, sub), 0)
-                )
+                row = q_idx * block_q + q_offset + _row_iota(sub)
             for i in range(num_sub):
                 col = kv_idx * block_k + i * sub + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, sub), 1
+                    jnp.int32, (rows, sub), 1
                 )
                 mask = col < kv_len if need_tail else None
                 if causal:
@@ -338,7 +350,7 @@ def _fwd_kernel(
         # roofline gap (0.61 vs 0.82 at 4K/d128). The reference never hit
         # this: its 16-wide KV tiles make diagonal waste negligible
         # (flashattn_streaming_16x16.cu); 1024-wide TPU blocks do not.
-        q = q_ref[0, 0]
+        q = _q_tile()
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         if quant:
@@ -349,11 +361,7 @@ def _fwd_kernel(
         dsub = block_k // diag_subs
         row_first = q_idx * block_q + q_offset
         row_last = row_first + (block_q - 1)
-        row = (
-            row_first
-            + jax.lax.broadcasted_iota(jnp.int32, (block_q, dsub), 0)
-            if causal else None
-        )
+        row = (row_first + _row_iota(dsub)) if causal else None
         for i in range(diag_subs):
             start = i * dsub
             first_col = kv_idx * block_k + start
@@ -389,7 +397,7 @@ def _fwd_kernel(
                 if quant:
                     s_i = s_i * ks[:, start : start + dsub]
                 col = first_col + jax.lax.broadcasted_iota(
-                    jnp.int32, (block_q, dsub), 1
+                    jnp.int32, (rows, dsub), 1
                 )
                 mask = col < kv_len if need_tail else None
                 if causal:
@@ -455,11 +463,17 @@ def _fwd_kernel(
     def _finish():
         l = l_scr[:, :1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        o_val = (acc_scr[:] / safe_l).astype(o_ref.dtype)
         # logsumexp residual for the backward pass / merges; the running max
         # lives in the log2 domain, so convert back to natural log
         lse = m_scr[:, :1] * _LN2 + jnp.log(safe_l)
-        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF, lse)
+        lse_val = jnp.where(l == 0.0, NEG_INF, lse)
+        if g_stack > 1:
+            o_ref[0, 0] = o_val.reshape(g_stack, block_q, o_val.shape[-1])
+            lse_ref[0, 0] = lse_val.reshape(g_stack, block_q, 1)
+        else:
+            o_ref[0, 0] = o_val
+            lse_ref[0, 0] = lse_val
 
 
 def _fwd(
@@ -479,6 +493,7 @@ def _fwd(
     v_scale: jax.Array | None = None,
     window: int | None = None,
     sinks: int = 0,
+    stack_group: bool | None = None,
 ):
     quant = k_scale is not None
     assert window is None or (causal and window >= 1), (window, causal)
@@ -491,6 +506,23 @@ def _fwd(
     assert hq % hkv == 0, (hq, hkv)
     group = hq // hkv
     block_q, block_k = _auto_blocks(block_q, block_k, d, stable=stable, group=group)
+    # GQA group stacking (see _fwd_kernel g_stack): on by default whenever
+    # there is a group to stack — one program computes the whole group
+    # against one K/V stream
+    if stack_group is None:
+        stack_group = group > 1
+    g_stack = group if stack_group else 1
+    if g_stack > 1:
+        # VMEM discipline (measured on-chip, v5e 16 MB scoped): keep the
+        # stacked rows at <= 2048 (rows=4096 stable=True read 18.3 MB and
+        # OOM'd — the m/l/acc scratch scales with rows) and the f32 score
+        # tile ([rows, block_k]) at <= 4 MB — its bf16 exp-weight copy,
+        # the scratch, and the double-buffered operand tiles ride on top
+        # (an 8 MB tile cap measured 21.9 MB scoped and OOM'd).
+        while g_stack * block_q > 2048 and block_q > 128:
+            block_q //= 2
+        while g_stack * block_q * block_k * 4 > (4 << 20) and block_k > 256:
+            block_k //= 2
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
     # fold the score scale AND log2(e) into q (cost O(N*D)): scores land in
@@ -540,6 +572,7 @@ def _fwd(
         window=window,
         sinks=sinks,
         diag_subs=diag_subs,
+        g_stack=g_stack,
     )
     # Dead-block DMA elision (same trick as flash_decode's dead-split
     # elision): KV blocks whose compute is pl.when'd off still cost their
@@ -565,34 +598,66 @@ def _fwd(
             return j
     else:
         _kv_j = lambda i, j: j  # noqa: E731
-    kv_map = lambda bb, h, i, j: (bb, h // group, _kv_j(i, j), 0)  # noqa: E731
-    scale_map = lambda bb, h, i, j: (bb, h // group, 0, _kv_j(i, j))  # noqa: E731
-    in_specs = [
-        pl.BlockSpec((1, 1, block_q, d), lambda bb, h, i, j: (bb, h, i, 0)),
-        pl.BlockSpec((1, 1, block_k, d), kv_map),
-        pl.BlockSpec((1, 1, block_k, d_v), kv_map),
-    ]
-    operands = [q, k, v]
+    rows = g_stack * block_q
+    if g_stack > 1:
+        # grid over KV heads; the group rides inside the q tile
+        kv_map = lambda bb, h, i, j: (bb, h, _kv_j(i, j), 0)  # noqa: E731
+        scale_map = lambda bb, h, i, j: (bb, h, 0, _kv_j(i, j))  # noqa: E731
+        q_in = q.reshape(b, hkv, group, np_, d)
+        in_specs = [
+            pl.BlockSpec(
+                (1, 1, group, block_q, d), lambda bb, h, i, j: (bb, h, 0, i, 0)
+            ),
+            pl.BlockSpec((1, 1, block_k, d), kv_map),
+            pl.BlockSpec((1, 1, block_k, d_v), kv_map),
+        ]
+        grid = (b, hkv, n_q, n_kv)
+        out_specs = [
+            pl.BlockSpec(
+                (1, 1, group, block_q, d_v),
+                lambda bb, h, i, j: (bb, h, 0, i, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, group, block_q, 1), lambda bb, h, i, j: (bb, h, 0, i, 0)
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, hkv, group, np_, d_v), q.dtype),
+            jax.ShapeDtypeStruct((b, hkv, group, np_, 1), jnp.float32),
+        ]
+    else:
+        kv_map = lambda bb, h, i, j: (bb, h // group, _kv_j(i, j), 0)  # noqa: E731
+        scale_map = lambda bb, h, i, j: (bb, h // group, 0, _kv_j(i, j))  # noqa: E731
+        q_in = q
+        in_specs = [
+            pl.BlockSpec((1, 1, block_q, d), lambda bb, h, i, j: (bb, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d), kv_map),
+            pl.BlockSpec((1, 1, block_k, d_v), kv_map),
+        ]
+        grid = (b, hq, n_q, n_kv)
+        out_specs = [
+            pl.BlockSpec((1, 1, block_q, d_v), lambda bb, h, i, j: (bb, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda bb, h, i, j: (bb, h, i, 0)),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, hq, np_, d_v), q.dtype),
+            jax.ShapeDtypeStruct((b, hq, np_, 1), jnp.float32),
+        ]
+    operands = [q_in, k, v]
     if quant:
         in_specs[2:2] = [pl.BlockSpec((1, 1, 1, block_k), scale_map)]
         in_specs.append(pl.BlockSpec((1, 1, 1, block_k), scale_map))
-        operands = [q, k, k_scale, v, v_scale]
+        operands = [q_in, k, k_scale, v, v_scale]
     out, lse = pl.pallas_call(
         kernel,
-        grid=(b, hq, n_q, n_kv),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, d_v), lambda bb, h, i, j: (bb, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda bb, h, i, j: (bb, h, i, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hq, np_, d_v), q.dtype),
-            jax.ShapeDtypeStruct((b, hq, np_, 1), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d_v), jnp.float32),
+            pltpu.VMEM((rows, _LANES), jnp.float32),
+            pltpu.VMEM((rows, _LANES), jnp.float32),
+            pltpu.VMEM((rows, d_v), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -609,6 +674,9 @@ def _fwd(
         ),
         interpret=interpret,
     )(*operands)
+    if g_stack > 1:
+        out = out.reshape(b, hq, np_, d_v)
+        lse = lse.reshape(b, hq, np_, 1)
     return out[:, :, :n], lse[:, :, :n, 0]
 
 
@@ -1402,33 +1470,35 @@ def _bwd_reference(res, g, causal, sm_scale, q_offset, block_k):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12)
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13)
 )
 def _flash_attention(
     q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub,
-    stable, window, sinks,
+    stable, window, sinks, stack_group,
 ):
     out, _ = _fwd(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
         num_sub, stable=stable, window=window, sinks=sinks,
+        stack_group=stack_group,
     )
     return out
 
 
 def _flash_attention_fwd(
     q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub,
-    stable, window, sinks,
+    stable, window, sinks, stack_group,
 ):
     out, lse = _fwd(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
         num_sub, stable=stable, window=window, sinks=sinks,
+        stack_group=stack_group,
     )
     return out, (q, k, v, out, lse)
 
 
 def _flash_attention_bwd(
     causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub, stable,
-    window, sinks, res, g,
+    window, sinks, stack_group, res, g,
 ):
     # the backward recompute is always max-stable (it subtracts the saved
     # lse, which bounds the exponent), so `stable` only shapes the forward
@@ -1464,6 +1534,7 @@ def flash_attention(
     stable: bool = True,
     window: int | None = None,
     sinks: int = 0,
+    stack_group: bool | None = None,
 ) -> jax.Array:
     """Fused multi-head / grouped-query FlashAttention forward.
 
@@ -1492,12 +1563,16 @@ def flash_attention(
         p overflows above ~2^127). Typical trained models sit far inside
         this; models with attention-sink outlier logits should keep True.
         The backward pass is unaffected (it re-centers on the saved lse).
+      stack_group: stack the GQA group's q-heads into one q tile so a
+        single program streams each K/V block once for the whole group
+        (grid over KV heads) — group-fold fewer KV HBM bytes and more MXU
+        rows per program. Default (None) = on whenever q_heads > kv_heads.
 
     Returns [batch, q_heads, q_len, head_dim_v]; differentiable.
     """
     return _flash_attention(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
-        num_sub, stable, window, sinks,
+        num_sub, stable, window, sinks, stack_group,
     )
 
 
