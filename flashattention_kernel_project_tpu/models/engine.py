@@ -952,6 +952,76 @@ def decode_step_paged(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnums=(0,), static_argnames=("interpret", "axis")
+)
+def extend_paged(
+    cfg: tfm.TransformerConfig,
+    params: dict,
+    tokens: jax.Array,
+    cache: PagedKVCache,
+    *,
+    interpret: bool | None = None,
+    axis: str | None = None,
+) -> tuple[jax.Array, PagedKVCache]:
+    """Multi-token extend against the paged cache: tokens [B, T] ->
+    (all-position logits [B, T, V], cache advanced by T). The paged analog
+    of `extend(..., all_logits=True)` — the speculative-decoding verify
+    step over a page pool (chunk KV appended token-by-token, then one
+    paged_flash_extend per layer scores every chunk position). Slots must
+    accept T more tokens within their allocated pages (the scheduler's
+    reserve rows guarantee it). bf16 pool only."""
+    from flashattention_kernel_project_tpu.ops.paged_decode import (
+        paged_append,
+        paged_flash_extend,
+    )
+
+    assert not cache.quantized, "extend_paged: bf16 page pool only"
+    b, t = tokens.shape
+    x = params["embed"][tokens]
+    positions = cache.lengths[:, None] + jnp.arange(t)[None, :]
+    sin, cos = tfm.rope_tables(cfg, positions)
+    k_pages = list(cache.k_pages)
+    v_pages = list(cache.v_pages)
+    new_lengths = cache.lengths + t
+    for i in range(cfg.n_layers):
+        layer = jax.tree.map(lambda p: p[i], params["layers"])
+        h = tfm.rms_norm(x, layer["rms_attn"])
+        q, k, v = _qkv(cfg, layer, h, b, t)
+        q = tfm.apply_rope(q, sin, cos)
+        k = tfm.apply_rope(k, sin, cos)
+        kd = k.astype(cache.k_pages[0].dtype)
+        vd = v.astype(cache.v_pages[0].dtype)
+        for tt in range(t):  # chunk append: T scatters (T = spec_k+1, small)
+            k_pages[i], v_pages[i] = paged_append(
+                k_pages[i], v_pages[i],
+                kd[:, tt], vd[:, tt],
+                cache.block_tables, cache.lengths + tt,
+            )
+        qd = (
+            q.transpose(0, 2, 1, 3).astype(cfg.dtype)
+        )  # [B, Hq, T, D]
+        o = paged_flash_extend(
+            qd, k_pages[i], v_pages[i],
+            cache.block_tables, new_lengths, cache.lengths,
+            interpret=interpret,
+        )  # [B, Hq, T, D]
+        x = x + _psum(
+            _proj(
+                o.transpose(0, 2, 1, 3).reshape(b, t, cfg.q_dim),
+                layer, "wo", x.dtype,
+            ),
+            axis,
+        )
+        x = _mlp(layer, x, axis, cfg)
+    x = tfm.rms_norm(x, params["rms_final"])
+    logits = _lm_head(params, x.reshape(b * t, -1)).reshape(b, t, -1)
+    return logits, PagedKVCache(
+        tuple(k_pages), tuple(v_pages), cache.block_tables, new_lengths,
+        None, None,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Speculative decoding: draft model proposes, target verifies one
 # chunked-extend per round. temperature == 0 is greedy — output IDENTICAL

@@ -180,9 +180,14 @@ class Scheduler:
         # each slot's committed length (the admission core reserves them).
         self.spec = draft_cfg is not None
         if self.spec:
-            if paged or seq_mesh is not None:
+            if seq_mesh is not None:
                 raise NotImplementedError(
-                    "speculative decoding: linear cache only"
+                    "speculative decoding: linear or paged cache (no seq_mesh)"
+                )
+            if paged and (quantized_cache or mesh is not None):
+                raise NotImplementedError(
+                    "speculative x paged: bf16 pool, single-device target "
+                    "(extend_paged has no quantized/TP variant yet)"
                 )
             if self.sampling:
                 raise NotImplementedError(
@@ -670,6 +675,16 @@ class Scheduler:
         if self._tp_verify is not None:
             all_l, self.cache = with_retries(
                 self._tp_verify, self.params, chunk, self.cache
+            )
+        elif self.paged:
+            # paged verify: one multi-token causal extend over the page
+            # pool (spec scratch rows live inside the slot's allocated
+            # pages — the admission reserve caps committed lengths)
+            all_l, self.cache = with_retries(
+                functools.partial(
+                    engine.extend_paged, self.cfg, self.params, chunk,
+                    self.cache, interpret=self.interpret,
+                )
             )
         else:
             all_l, self.cache = with_retries(

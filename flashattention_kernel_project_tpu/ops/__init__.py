@@ -48,4 +48,5 @@ from flashattention_kernel_project_tpu.ops.paged_decode import (  # noqa: F401,E
     paged_append_quant,
     paged_flash_decode,
     paged_flash_decode_quant,
+    paged_flash_extend,
 )

@@ -190,6 +190,176 @@ def paged_flash_decode(
     return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)
 
 
+def _paged_extend_kernel(
+    table_ref,   # scalar-prefetch [B, max_pages] int32 page ids
+    newlen_ref,  # scalar-prefetch [B] int32 lengths AFTER the chunk append
+    oldlen_ref,  # scalar-prefetch [B] int32 lengths BEFORE the chunk
+    q_ref,       # [1, 1, ROWS, D] — ROWS = pad8(G * T), row = gi*T + tr
+    k_ref,       # [1, 1, page, D]
+    v_ref,
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    page_size: int,
+    max_pages: int,
+    t_chunk: int,
+):
+    """Multi-token causal extend against the paged pool: the T chunk tokens
+    (already appended to the pages) fold into the q-tile ROW dim next to
+    the GQA group, and each row's causal horizon is its own global position
+    old_len + (row % T). This is the paged verify step for speculative
+    decoding — one kernel scores all spec_k+1 positions of every slot."""
+    b = pl.program_id(0)
+    p = pl.program_id(2)
+    new_len = newlen_ref[b]
+    old_len = oldlen_ref[b]
+
+    @pl.when(p == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    live = p * page_size < new_len
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]            # [ROWS, D]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        rows = q.shape[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        col = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (rows, page_size), 1
+        )
+        # row r holds chunk token tr = r % T at global position old_len+tr
+        # (padding rows alias a real tr: garbage values, finite positions —
+        # sliced off by the wrapper). Every row sees column 0, so the
+        # running max is finite and masked lanes exp2-flush to exact 0.
+        rowpos = old_len + (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, page_size), 0)
+            % t_chunk
+        )
+        mask = jnp.logical_and(col < new_len, col <= rowpos)
+        s = jnp.where(mask, s, NEG_INF)
+        m_prev = m_scr[:]
+        m_tile = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_tile)
+        scale = jnp.exp2(m_prev - m_next)
+        e = jnp.exp2((s - m_next[:, :1]).astype(v.dtype))
+        l_scr[:] = l_scr[:] * scale + jnp.sum(
+            e, axis=-1, keepdims=True, dtype=jnp.float32
+        )
+        pv = jax.lax.dot_general(
+            e, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * scale[:, :1] + pv
+        m_scr[:] = m_next
+
+    @pl.when(p == max_pages - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def paged_flash_extend(
+    q: jax.Array,
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    block_table: jax.Array,
+    new_lengths: jax.Array,
+    old_lengths: jax.Array,
+    *,
+    sm_scale: float | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Causal multi-token GQA extend against a paged KV cache.
+
+    The chunk's own KV must already be appended to the pages
+    (new_lengths == old_lengths + T). Token t of the chunk attends keys
+    [0, old_lengths + t] — exactly the linear engine's ragged `extend`
+    semantics, against pages (the reference has no paged analog; vLLM-style
+    layer per BASELINE north star).
+
+    Args:
+      q: [B, Hq, T, D] — T chunk tokens per sequence.
+      k_pages, v_pages: [n_pages, Hkv, page_size, D] page pool.
+      block_table: [B, max_pages] int32.
+      new_lengths / old_lengths: [B] int32 lengths after / before the chunk.
+
+    Returns [B, Hq, T, D] in q.dtype.
+    """
+    if interpret is None:
+        interpret = default_interpret()
+    b, hq, t, d = q.shape
+    n_pages, hkv, page_size, _ = k_pages.shape
+    max_pages = block_table.shape[1]
+    g = hq // hkv
+    rows = g * t
+    rows_p = -(-rows // 8) * 8
+    if sm_scale is None:
+        sm_scale = 1.0 / (d ** 0.5)
+
+    qg = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
+    qg = qg.reshape(b, hkv, rows, d)
+    if rows_p != rows:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
+
+    kernel = functools.partial(
+        _paged_extend_kernel, page_size=page_size, max_pages=max_pages,
+        t_chunk=t,
+    )
+
+    def _kv_map(bb, h, p, tbl, nln, oln):
+        return (_live_page(tbl, nln, bb, p, page_size), h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hkv, max_pages),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, rows_p, d), lambda bb, h, p, tbl, nln, oln: (bb, h, 0, 0)
+            ),
+            pl.BlockSpec((1, 1, page_size, d), _kv_map),
+            pl.BlockSpec((1, 1, page_size, d), _kv_map),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, rows_p, d), lambda bb, h, p, tbl, nln, oln: (bb, h, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows_p, 128), jnp.float32),
+            pltpu.VMEM((rows_p, 128), jnp.float32),
+            pltpu.VMEM((rows_p, d), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, rows_p, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        block_table.astype(jnp.int32),
+        new_lengths.astype(jnp.int32),
+        old_lengths.astype(jnp.int32),
+        qg, k_pages, v_pages,
+    )
+    return (
+        out[:, :, :rows].reshape(b, hkv, g, t, d)
+        .reshape(b, hq, t, d).astype(q.dtype)
+    )
+
+
 def paged_append(
     k_pages: jax.Array,
     v_pages: jax.Array,

@@ -299,3 +299,78 @@ def test_engine_paged_decode_quantized(rng, fmt):
         l2, paged = engine.decode_step_paged(cfg, params, tok, paged)
         assert rel_l2(np.asarray(l2), np.asarray(l1)) < 5e-2
         tok = jnp.argmax(l1, -1).astype(jnp.int32)
+
+
+def test_paged_extend_matches_causal_oracle(rng):
+    """Multi-token causal extend over pages: chunk token t of every slot
+    attends exactly [0, old_len + t] — the paged speculative-verify step
+    (reference has no analog; vLLM-layer per BASELINE north star)."""
+    b, hq, hkv, d, page = 2, 4, 2, 32, 128
+    t = 4
+    old = np.array([130, 7], np.int32)  # crosses a page boundary / tiny
+    s_max = int(old.max()) + t
+    k_lin = rng.standard_normal((b, hkv, s_max, d)).astype(np.float32)
+    v_lin = rng.standard_normal((b, hkv, s_max, d)).astype(np.float32)
+    q = rng.standard_normal((b, hq, t, d)).astype(np.float32)
+
+    pool = ops.PagePool(16)
+    kp, vp, tables = _paged_from_linear(k_lin, v_lin, page, pool, 4, 16)
+    got = ops.paged_flash_extend(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+        jnp.asarray(tables), jnp.asarray(old + t), jnp.asarray(old),
+    )
+    for i in range(b):
+        s_i = int(old[i]) + t
+        exp = oracles.gqa_attention(
+            q[i : i + 1],
+            k_lin[i : i + 1, :, :s_i],
+            v_lin[i : i + 1, :, :s_i],
+            causal=True,
+            q_offset=int(old[i]),
+        )
+        assert_rel_l2(np.asarray(got)[i : i + 1], exp, tol=1e-2)
+
+
+def test_engine_extend_paged_matches_linear_extend(rng):
+    """Full model: extend_paged (paged speculative verify) produces the
+    same all-position logits and advanced cache as the linear-cache
+    engine.extend(all_logits=True)."""
+    import jax
+    from flashattention_kernel_project_tpu import models
+    from flashattention_kernel_project_tpu.models import engine
+
+    cfg = models.TransformerConfig(
+        vocab_size=128, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+        d_head=16, d_ff=128, dtype=jnp.float32, block_q=32, block_k=32,
+    )
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    b, t0, t = 2, 48, 4
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (b, t0), 0, 128)
+
+    lin = engine.init_cache(cfg, b, 256)
+    logits_lin, lin = engine.prefill(cfg, params, prompt, lin)
+
+    pool = ops.PagePool(32)
+    paged = engine.init_paged_cache(cfg, b, 32, page_size=128,
+                                    max_pages_per_seq=4)
+    for i in range(b):
+        pages = pool.alloc(2)
+        row = jnp.asarray(pool.table_for(pages, 4))
+        k_seq = tuple(lin.k[li][i] for li in range(cfg.n_layers))
+        v_seq = tuple(lin.v[li][i] for li in range(cfg.n_layers))
+        paged = engine.paged_insert(paged, i, row, k_seq, v_seq, t0)
+
+    chunk = jax.random.randint(jax.random.PRNGKey(2), (b, t), 0, 128)
+    l1, lin = engine.extend(cfg, params, chunk, lin, all_logits=True)
+    l2, paged = engine.extend_paged(cfg, params, chunk, paged)
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(l2), rtol=3e-4, atol=3e-4
+    )
+    assert np.array_equal(np.asarray(paged.lengths), np.asarray(lin.lengths))
+    # and a follow-up single-token decode still agrees (cache state intact)
+    tok = jnp.argmax(l1[:, -1], -1).astype(jnp.int32)
+    d1, lin = engine.decode_step(cfg, params, tok, lin)
+    d2, paged = engine.decode_step_paged(cfg, params, tok, paged)
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=3e-4, atol=3e-4
+    )

@@ -673,3 +673,37 @@ def test_scheduler_cancel():
     r0 = ref.submit(p[0], max_new_tokens=6)
     rout = ref.run()
     assert out[u0] == rout[r0]  # the survivor is unaffected by eviction
+
+
+@pytest.mark.parametrize("same_draft", [True, False])
+def test_scheduler_speculative_paged_matches_plain(same_draft):
+    """Speculative decoding over the PAGED backend (extend_paged verify):
+    tokens must be EXACTLY the plain scheduler's greedy output — spec
+    scratch rows live inside each slot's allocated pages and roll back via
+    the lengths vector, same as the linear backend."""
+    import dataclasses as dc
+
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    if same_draft:
+        draft_cfg, draft_params = CFG, params
+    else:
+        draft_cfg = dc.replace(CFG, n_layers=1, d_ff=64)
+        draft_params = models.init_params(draft_cfg, jax.random.PRNGKey(99))
+    rng = np.random.default_rng(10)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (6, 11, 4)
+    ]
+    sp = Scheduler(
+        CFG, params, max_batch=2, max_len=64, paged=True,
+        draft_cfg=draft_cfg, draft_params=draft_params, spec_k=3,
+    )
+    uids = [sp.submit(p, max_new_tokens=6) for p in prompts]
+    out = sp.run()
+    assert sp._pool.free_pages == sp._n_pages - 1  # all pages returned
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64)
+    ruids = [ref.submit(p, max_new_tokens=6) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
