@@ -168,6 +168,89 @@ def _decode_kernel_int8(
         y_ref[0, 0, 0] = y
 
 
+def _decode_kernel_int8_mxu(
+    len_ref,  # scalar-prefetch [B] int32
+    q_ref,   # int8 [1, 1, GP, D] (per-row quantized by the wrapper)
+    qs_ref,  # f32 [1, 1, GP, 1] per-row q scale, sm_scale pre-folded
+    k_ref,   # int8 [1, 1, block_s, D]
+    ks_ref,  # f32 [1, 1, 1, block_s] per-token scale, LANE-oriented
+    v_ref,   # int8 [1, 1, block_s, D]
+    vs_ref,
+    m_ref,
+    l_ref,
+    y_ref,
+    *,
+    block_s: int,
+    window: int | None = None,
+    sinks: int = 0,
+):
+    """INT8 decode with BOTH matmuls on the MXU in int8 (394 TOPS on v5e).
+
+    The cast-based kernel (_decode_kernel_int8) spends a VPU pass over every
+    K and V element (int8 -> bf16, [block_s, D] each) — at decode's ~1:1
+    bytes:FLOPs that cast work is comparable to the HBM stream itself and
+    halves the achieved bandwidth (measured 0.53x roofline vs bf16's 0.83x).
+    Here K and V stay int8 end-to-end: QK^T runs int8 x int8 (q is per-row
+    requantized on the host side, scales folded onto the f32 score tile),
+    and the exp weights are per-row requantized to int8 for the PV matmul
+    (ew is [GP, block_s] — 16x fewer elements than casting V). All VPU
+    passes touch [GP, block_s] tiles only; the [block_s, D] streams go
+    straight from the DMA to the MXU."""
+    split = pl.program_id(2)
+    length = len_ref[pl.program_id(0)]
+    gp = q_ref.shape[2]
+
+    m_ref[0, 0, 0] = jnp.full_like(m_ref[0, 0, 0], NEG_INF)
+    l_ref[0, 0, 0] = jnp.zeros_like(l_ref[0, 0, 0])
+    y_ref[0, 0, 0] = jnp.zeros_like(y_ref[0, 0, 0])
+
+    live = split * block_s < length
+    if window is not None:
+        in_band = (split + 1) * block_s > length - window
+        if sinks:
+            in_band = jnp.logical_or(in_band, split * block_s < sinks)
+        live = jnp.logical_and(live, in_band)
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]  # int8 [GP, D]
+        k = k_ref[0, 0]  # int8 [block_s, D]
+        s32 = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        # per-row q scale (sm_scale folded) x per-token K scale — one VPU
+        # pass over the [GP, block_s] score tile
+        s = s32.astype(jnp.float32) * (qs_ref[0, 0] * ks_ref[0, 0])
+
+        col = split * block_s + jax.lax.broadcasted_iota(
+            jnp.int32, (gp, block_s), 1
+        )
+        mask = col < length
+        if window is not None:
+            wm = col >= length - window
+            if sinks:
+                wm = jnp.logical_or(wm, col < sinks)
+            mask = jnp.logical_and(mask, wm)
+        s = jnp.where(mask, s, NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.where(mask, jnp.exp(s - m), 0.0)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        # fold the per-token V scale, then requantize the weights per row:
+        # ew >= 0, so round-half-up via floor(x + 0.5)
+        ew = e * vs_ref[0, 0]  # [GP, block_s]
+        r = jnp.max(ew, axis=-1, keepdims=True)
+        rs = jnp.where(r == 0.0, 1.0, r) * (1.0 / 127.0)
+        ei = jnp.floor(ew / rs + 0.5).astype(jnp.int8)
+        y32 = jax.lax.dot_general(
+            ei, v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        m_ref[0, 0, 0] = m
+        l_ref[0, 0, 0] = l
+        y_ref[0, 0, 0] = y32.astype(jnp.float32) * rs
+
+
 def _clamp_to_live(ln, bb, s, block_s, window=None, sinks=0):
     """Split index clamped to the live block range of sequence bb: dead
     splits re-map to a live one so consecutive grid steps fetch the same
@@ -250,7 +333,13 @@ def flash_decode(
     b, hq, d = q.shape
     _, hkv, s_max, _ = k_cache.shape
     if n_splits is None:
-        n_splits = max(1, -(-s_max // 1024))
+        # ~4096 tokens per split: the TensorCore runs grid programs
+        # SERIALLY, so more splits only buy finer dead-block elision for
+        # ragged lengths while paying a fixed per-program cost that
+        # dominated the int8 rung (measured at S=8192, b8/h16-4/d128:
+        # 1024-token splits 0.545x HBM roofline, 4096-token 0.879x,
+        # 8192-token 0.886x; bf16 0.832x -> 0.906x)
+        n_splits = max(1, -(-s_max // 4096))
     assert hq % hkv == 0
     g = hq // hkv
     gp = max(8, g)
@@ -335,7 +424,7 @@ def flash_decode(
     jax.jit,
     static_argnames=(
         "n_splits", "sm_scale", "interpret", "return_partials", "window",
-        "sinks",
+        "sinks", "mxu",
     ),
 )
 def flash_decode_int8(
@@ -352,26 +441,54 @@ def flash_decode_int8(
     return_partials: bool = False,
     window: int | None = None,
     sinks: int = 0,
+    mxu: bool | None = None,
 ) -> jax.Array:
     """flash_decode against a quantized KV cache (per-token scales, dequant
     fused into the kernel's K/V load stage — the slot where the reference
     does cp.async, flashattn_forward_wmma_v5_cp_async.cu:229-251).
 
-    k_q/v_q: [B, Hkv, S_max, D] int8 OR float8_e4m3fn (the kernel only casts
-    to the compute dtype and applies the scales outside the MXU matmuls, so
-    both 8-bit formats share one kernel); k_scale/v_scale:
+    k_q/v_q: [B, Hkv, S_max, D] int8 OR float8_e4m3fn; k_scale/v_scale:
     [B, Hkv, S_max, 1] f32. `flash_decode_fp8` is the fp8-named alias.
+
+    mxu (int8 caches only): run both matmuls int8 x int8 on the MXU with
+    q and the exp weights per-row requantized, instead of casting the
+    [block_s, D] K/V streams to bf16 on the VPU — see
+    _decode_kernel_int8_mxu. Measured NEUTRAL at the serving shape
+    (S=8192 b8: 723 vs 720 GB/s — the cast overlaps the DMA once splits
+    are sized right), so it stays off by default: it costs one extra
+    ~1% quantization error term. It is the right tool only if a config
+    shows the VPU cast on the critical path.
     """
     if interpret is None:
         interpret = default_interpret()
     b, hq, d = q.shape
     _, hkv, s_max, _ = k_q.shape
+    if mxu is None:
+        mxu = False
+    assert not (mxu and k_q.dtype != jnp.int8), "mxu path needs an int8 cache"
     if n_splits is None:
-        n_splits = max(1, -(-s_max // 1024))
+        # ~4096 tokens per split: the TensorCore runs grid programs
+        # SERIALLY, so more splits only buy finer dead-block elision for
+        # ragged lengths while paying a fixed per-program cost that
+        # dominated the int8 rung (measured at S=8192, b8/h16-4/d128:
+        # 1024-token splits 0.545x HBM roofline, 4096-token 0.879x,
+        # 8192-token 0.886x; bf16 0.832x -> 0.906x)
+        n_splits = max(1, -(-s_max // 4096))
     g = hq // hkv
     gp = max(8, g)
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
+
+    out_dtype = q.dtype
+    if mxu:
+        # per-row symmetric q quantization; sm_scale folds into the scale
+        qf = q.astype(jnp.float32)
+        qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        qsc = jnp.where(qmax == 0.0, 1.0, qmax) * (1.0 / 127.0)
+        q = jnp.round(qf / qsc).astype(jnp.int8)
+        qs = (qsc * sm_scale).reshape(b, hkv, g, 1)
+        if gp != g:
+            qs = jnp.pad(qs, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
 
     qg = q.reshape(b, hkv, g, d)
     if gp != g:
@@ -395,10 +512,16 @@ def flash_decode_int8(
         k_scale = jnp.pad(k_scale, pads_sc)
         v_scale = jnp.pad(v_scale, pads_sc)
 
-    kernel = functools.partial(
-        _decode_kernel_int8, block_s=block_s, sm_scale=sm_scale, window=window,
-        sinks=sinks,
-    )
+    if mxu:
+        kernel = functools.partial(
+            _decode_kernel_int8_mxu, block_s=block_s, window=window,
+            sinks=sinks,
+        )
+    else:
+        kernel = functools.partial(
+            _decode_kernel_int8, block_s=block_s, sm_scale=sm_scale,
+            window=window, sinks=sinks,
+        )
 
     # same dead-split DMA elision as the bf16 kernel (see flash_decode)
     def _kv_map(bb, h, s, ln):
@@ -407,16 +530,24 @@ def flash_decode_int8(
     def _scale_map(bb, h, s, ln):
         return (bb, h, 0, _clamp_to_live(ln, bb, s, block_s, window, sinks))
 
+    in_specs = [
+        pl.BlockSpec((1, 1, gp, d), lambda bb, h, s, ln: (bb, h, 0, 0)),
+        pl.BlockSpec((1, 1, block_s, d), _kv_map),
+        pl.BlockSpec((1, 1, 1, block_s), _scale_map),
+        pl.BlockSpec((1, 1, block_s, d), _kv_map),
+        pl.BlockSpec((1, 1, 1, block_s), _scale_map),
+    ]
+    operands = [qg.reshape(b, hkv, gp, d), k_q, k_scale, v_q, v_scale]
+    if mxu:
+        in_specs.insert(
+            1, pl.BlockSpec((1, 1, gp, 1), lambda bb, h, s, ln: (bb, h, 0, 0))
+        )
+        operands.insert(1, qs)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hkv, n_splits),
-        in_specs=[
-            pl.BlockSpec((1, 1, gp, d), lambda bb, h, s, ln: (bb, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_s, d), _kv_map),
-            pl.BlockSpec((1, 1, 1, block_s), _scale_map),
-            pl.BlockSpec((1, 1, block_s, d), _kv_map),
-            pl.BlockSpec((1, 1, 1, block_s), _scale_map),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s, ln: (bb, h, s, 0, 0)),
             pl.BlockSpec((1, 1, 1, gp, 1), lambda bb, h, s, ln: (bb, h, s, 0, 0)),
@@ -435,10 +566,7 @@ def flash_decode_int8(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(
-        lengths.astype(jnp.int32),
-        qg.reshape(b, hkv, gp, d), k_q, k_scale, v_q, v_scale,
-    )
+    )(lengths.astype(jnp.int32), *operands)
 
     if return_partials:
         # same UNNORMALIZED fold as flash_decode: the cross-device merge
@@ -450,7 +578,7 @@ def flash_decode_int8(
         return m_g[:, :, :g], l_g[:, :, :g], y_g[:, :, :g]
 
     out = merge_partials(m, l, y)
-    return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)
+    return out[:, :, :g].reshape(b, hq, d).astype(out_dtype)
 
 
 # fp8_e4m3 KV shares the int8 kernel: both are 8-bit-per-value + per-token

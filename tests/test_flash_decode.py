@@ -47,7 +47,10 @@ def test_flash_decode(rng, n_splits, hq, hkv):
     assert_rel_l2(got, exp, tol=1e-2)
 
 
-def test_flash_decode_int8(rng):
+@pytest.mark.parametrize("mxu", [False, True])
+def test_flash_decode_int8(rng, mxu):
+    """mxu=True: both matmuls int8 on the MXU (q + exp-weights per-row
+    requantized in-kernel) — one extra ~0.8% error term vs the cast path."""
     b, hq, hkv, s_max, d = 2, 8, 2, 128, 64
     q = rng.standard_normal((b, hq, d), dtype=np.float32)
     k = rng.standard_normal((b, hkv, s_max, d), dtype=np.float32)
@@ -56,13 +59,14 @@ def test_flash_decode_int8(rng):
 
     k_q, k_s, v_q, v_s = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
     got = ops.flash_decode_int8(
-        jnp.asarray(q), k_q, k_s, v_q, v_s, jnp.asarray(lengths), n_splits=4
+        jnp.asarray(q), k_q, k_s, v_q, v_s, jnp.asarray(lengths), n_splits=4,
+        mxu=mxu,
     )
     # oracle at matching bit-width: dequantized cache through fp32 attention
     k_dq = np.asarray(ops.dequantize_int8(k_q, k_s))
     v_dq = np.asarray(ops.dequantize_int8(v_q, v_s))
     exp = _decode_oracle(q, k_dq, v_dq, lengths)
-    assert_rel_l2(got, exp, tol=1e-2)
+    assert_rel_l2(got, exp, tol=2e-2 if mxu else 1e-2)
 
 
 def test_flash_decode_matches_flash_attention(rng):
@@ -134,7 +138,8 @@ def test_flash_decode_window(rng):
         assert_rel_l2(got[i : i + 1], exp, tol=1e-2)
 
 
-def test_flash_decode_int8_window(rng):
+@pytest.mark.parametrize("mxu", [False, True])
+def test_flash_decode_int8_window(rng, mxu):
     b, hq, hkv, s, d = 2, 8, 2, 384, 32
     q = rng.standard_normal((b, hq, d), dtype=np.float32)
     k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
@@ -144,7 +149,7 @@ def test_flash_decode_int8_window(rng):
     k_q, k_s, v_q, v_s = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
     got = np.asarray(ops.flash_decode_int8(
         jnp.asarray(q), k_q, k_s, v_q, v_s, jnp.asarray(lengths),
-        n_splits=3, window=window,
+        n_splits=3, window=window, mxu=mxu,
     ))
     kd = np.asarray(k_q, np.float32) * np.asarray(k_s, np.float32)
     vd = np.asarray(v_q, np.float32) * np.asarray(v_s, np.float32)
@@ -154,7 +159,7 @@ def test_flash_decode_int8_window(rng):
             q[i : i + 1, :, None], kd[i : i + 1, :, lo : lengths[i]],
             vd[i : i + 1, :, lo : lengths[i]], causal=False,
         )[:, :, 0]
-        assert_rel_l2(got[i : i + 1], exp, tol=1e-2)
+        assert_rel_l2(got[i : i + 1], exp, tol=2e-2 if mxu else 1e-2)
 
 
 def test_flash_decode_window_sinks(rng):
