@@ -162,6 +162,22 @@ def build_benches(quick: bool, long: bool = False):
                 functools.partial(ops.flash_attention, causal=True,
                                   stable=False, window=W),
                 (ql, kl, vl), flops=4 * B * H * pairs * D)
+    # backward pass (training path): dq/dk/dv via the Pallas FA2-recompute
+    # kernels. Useful FLOPs ~= 2.5x forward (5 matmuls vs 2: qk + pv
+    # recompute, dv, dp, dq, dk), causal halves the score pairs.
+    import jax as _jax
+
+    def _fa_grads(q_, k_, v_):
+        f = lambda a, b, c: ops.flash_attention(  # noqa: E731
+            a, b, c, causal=True
+        ).astype(jnp.float32).sum()
+        return _jax.grad(f, argnums=(0, 1, 2))(q_, k_, v_)
+
+    reg("flashattn_bwd_causal_d128_seq4k", _fa_grads, (q, k, v),
+        flops=int(10 * B * H * N * N * D * 0.5),
+        chain=lambda out, args: (out[0].astype(jnp.bfloat16), args[1],
+                                 args[2]))
+
     D64 = 64
     q64 = jnp.asarray(rng.standard_normal((B, H, N, D64)), jnp.bfloat16)
     k64 = jnp.asarray(rng.standard_normal((B, HKV, N, D64)), jnp.bfloat16)
@@ -255,20 +271,21 @@ def build_benches(quick: bool, long: bool = False):
         (qd, kp8, ksp, vp8, vsp, tables, lens),
         bytes_accessed=kv_bytes // 2, flops=4 * DB * H * DS * D)
 
-    # the reference's streaming-kernel problem shape (B=1024 independent
-    # sequences, short KV, small head count — flashattn_streaming_16x16.cu
-    # mains), through the explicit-DMA double-buffer kernel (section 2.7
-    # warp-specialization analog)
-    # d=128 (not the reference's 16): the manual-DMA kernel slices KV tiles
-    # along the head dim, and Mosaic requires 128-lane-aligned slices
-    SB, SH, SS, SD = 1024, 8, 128, 128
+    # explicit-DMA double-buffer pipeline (section 2.7 warp-specialization
+    # analog) at an HBM-RESIDENT shape (512 MB KV): the reference's own
+    # B=1024/S=128 config fits in v5e's ~128 MB VMEM, where a plain XLA
+    # loop holds the whole cache on-chip and reads 14x the HBM roofline —
+    # meaningless as a streaming benchmark (measured 2026-08-19; see
+    # perf_journal). seq_chunk=8 folds 8 sequences per program: one wide
+    # DMA per tile, program count /8 (0.061x -> 0.814x roofline).
+    SB, SH, SS, SD = 256, 8, 4096, 128
     qs = jnp.asarray(rng.standard_normal((SB, SH, SD)), dtype=jnp.bfloat16)
     ks_c = jnp.asarray(rng.standard_normal((SB, 1, SS, SD)), dtype=jnp.bfloat16)
     vs_c = jnp.asarray(rng.standard_normal((SB, 1, SS, SD)), dtype=jnp.bfloat16)
     lens_s = jnp.full((SB,), SS, jnp.int32)
     skv_bytes = 2 * SB * 1 * SS * SD * 2
-    reg("streaming_dma_decode_b1024_s128_refcfg",
-        functools.partial(ops.streaming_decode, block_s=64),
+    reg("streaming_dma_decode_b256_s4096",
+        functools.partial(ops.streaming_decode, block_s=512, seq_chunk=8),
         (qs, ks_c, vs_c, lens_s), bytes_accessed=skv_bytes,
         flops=4 * SB * SH * SS * SD)
 

@@ -59,3 +59,27 @@ def test_streaming_decode_zero_length(rng):
     )
     assert np.isfinite(np.asarray(got)).all()
     assert np.abs(np.asarray(got)[1]).max() == 0.0
+
+
+@pytest.mark.parametrize("seq_chunk", [4, 8])
+def test_streaming_decode_seq_chunk(rng, seq_chunk):
+    """Chunked programs (one wide DMA per tile, unrolled per-seq compute)
+    must match the one-sequence-per-program kernel exactly, including
+    ragged lengths inside a chunk."""
+    b, hq, hkv, s, d = 16, 4, 2, 256, 128
+    q = rng.standard_normal((b, hq, d), dtype=np.float32)
+    k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    v = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
+    lengths = rng.integers(1, s + 1, size=b).astype(np.int32)
+    lengths[0] = s
+    lengths[1] = 1
+    a = ops.streaming_decode(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths),
+        block_s=64,
+    )
+    c = ops.streaming_decode(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(lengths),
+        block_s=64, seq_chunk=seq_chunk,
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-5,
+                               atol=2e-5)
