@@ -432,11 +432,14 @@ def run_isolated(args):
                     continue
                 break
             results.extend(got)
-    out = args.out or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results.json"
-    )
-    with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+            # write INCREMENTALLY: a rung costs minutes of remote compile,
+            # and losing the whole session to an outer timeout on the last
+            # rung is the failure mode round 2 nearly hit
+            out = args.out or os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "results.json"
+            )
+            with open(out, "w") as f:
+                json.dump(results, f, indent=2)
     print(f"wrote {out}")
 
 
