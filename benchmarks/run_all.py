@@ -88,8 +88,15 @@ def build_benches(quick: bool, long: bool = False):
     # dequant epilogue.
     a8, a8s = ops.quantize_int8(
         jnp.asarray(rng.standard_normal((m, m)), jnp.float32), axis=1)
+    # chain: the bf16 output feeds back as the int8 activation (saturating
+    # cast — values are garbage but the data dependence serializes
+    # iterations; the default identity chain tripped the fori_loop carry
+    # dtype check: bf16 out vs int8 in)
     reg("gemm_int8_int8_4096", ops.matmul_int8, (a8, a8s, w8, w8s),
-        flops=2 * m**3, dtype="int8")
+        flops=2 * m**3, dtype="int8",
+        chain=lambda out, args: (
+            jnp.clip(out, -127, 127).astype(jnp.int8),
+        ) + tuple(args[1:]))
 
     # BASELINE.json config: "tensorcore_gemm_batched with fused
     # scale+bias+softmax epilogue (B=32, M=N=K=2048)"

@@ -506,11 +506,15 @@ def _fwd(
     assert hq % hkv == 0, (hq, hkv)
     group = hq // hkv
     block_q, block_k = _auto_blocks(block_q, block_k, d, stable=stable, group=group)
-    # GQA group stacking (see _fwd_kernel g_stack): on by default whenever
-    # there is a group to stack — one program computes the whole group
-    # against one K/V stream
+    # GQA group stacking (see _fwd_kernel g_stack): one program computes
+    # the whole group against one K/V stream. Default ON only for the
+    # fixed-max discipline — measured on-chip (causal 4K, device-trace):
+    #   d128 stable=False 118.8 -> 139.4 TF; d64 60.0 -> 69.7 TF (win)
+    #   d128 stable=True  107.7 -> 76.7 TF; d64 53.9 -> 38.3 TF (LOSS —
+    #   the online-rescale VPU passes scale with rows, and the stacked
+    #   tile shrinks block_k, multiplying rescale count per KV token)
     if stack_group is None:
-        stack_group = group > 1
+        stack_group = group > 1 and not stable
     g_stack = group if stack_group else 1
     if g_stack > 1:
         # VMEM discipline (measured on-chip, v5e 16 MB scoped): keep the

@@ -104,8 +104,135 @@ def _paged_decode_kernel(
         o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
 
 
+def _paged_gather_kernel(
+    table_ref,  # scalar-prefetch [B, max_pages] int32 page ids
+    len_ref,    # scalar-prefetch [B] int32 sequence lengths
+    q_ref,      # [1, 1, GP, D]
+    k_hbm,      # ANY [n_pages, Hkv, page, D] — gathered manually
+    v_hbm,
+    o_ref,      # [1, 1, GP, D] f32
+    k_buf,      # VMEM [2, G*page, D] ping-pong
+    v_buf,
+    m_scr,
+    l_scr,
+    acc_scr,
+    sem,        # DMA semaphores [2, 2, G] (slot x {k, v} x page)
+    *,
+    page_size: int,
+    g_pages: int,
+    n_splits: int,
+):
+    """Multi-page gather decode: G pages per program via explicit DMAs.
+
+    The BlockSpec path (_paged_decode_kernel) runs ONE page per grid
+    program; at page_size=128 that is 64 serial programs per 8K sequence
+    x ~0.3 us fixed cost each — measured 0.18x of the HBM roofline
+    (int8: 0.07x). Here each program issues G page copies into a
+    contiguous VMEM span (double-buffered across splits, same ping-pong
+    discipline as ops/streaming.py) and computes one [GP, G*page] tile:
+    program count / G, descriptors batched, scores one matmul."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    s = pl.program_id(2)
+    length = len_ref[b]
+    span = g_pages * page_size
+
+    def k_dma(s_idx, slot, i):
+        pid = _live_page(table_ref, len_ref, b, s_idx * g_pages + i,
+                         page_size)
+        return pltpu.make_async_copy(
+            k_hbm.at[pid, h],
+            k_buf.at[slot, pl.ds(i * page_size, page_size)],
+            sem.at[slot, 0, i],
+        )
+
+    def v_dma(s_idx, slot, i):
+        pid = _live_page(table_ref, len_ref, b, s_idx * g_pages + i,
+                         page_size)
+        return pltpu.make_async_copy(
+            v_hbm.at[pid, h],
+            v_buf.at[slot, pl.ds(i * page_size, page_size)],
+            sem.at[slot, 1, i],
+        )
+
+    def issue(s_idx, slot):
+        for i in range(g_pages):
+            k_dma(s_idx, slot, i).start()
+            v_dma(s_idx, slot, i).start()
+
+    slot = jax.lax.rem(s, 2)
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        issue(0, 0)
+
+    # producer: split s+1 gathers while split s computes
+    @pl.when(jnp.logical_and(s + 1 < n_splits, (s + 1) * span < length))
+    def _next():
+        issue(s + 1, 1 - slot)
+
+    live = s * span < length
+
+    # wait exactly what was issued (s==0 is issued unconditionally at init,
+    # even for empty slots — an unwaited semaphore would leak into the next
+    # (b, h) stream's reuse of the slot)
+    @pl.when(jnp.logical_or(s == 0, live))
+    def _wait():
+        for i in range(g_pages):
+            k_dma(s, slot, i).wait()
+            v_dma(s, slot, i).wait()
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]        # [GP, D], sm_scale*log2e pre-folded
+        k = k_buf[slot]        # [span, D]
+        v = v_buf[slot]
+        gp = q.shape[0]
+        st = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        col = s * span + jax.lax.broadcasted_iota(jnp.int32, (gp, span), 1)
+        st = jnp.where(col < length, st, NEG_INF)
+        m_prev = m_scr[:]
+        m_tile = jnp.max(st, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_tile)
+        scale = jnp.exp2(m_prev - m_next)
+        e = jnp.exp2((st - m_next[:, :1]).astype(v.dtype))
+        l_scr[:] = l_scr[:] * scale + jnp.sum(
+            e, axis=-1, keepdims=True, dtype=jnp.float32
+        )
+        pv = jax.lax.dot_general(
+            e, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * scale[:, :1] + pv
+        m_scr[:] = m_next
+
+    @pl.when(s == n_splits - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
+def _gather_pages_per_split(page_size: int, max_pages: int,
+                            itemsize: int = 2) -> int:
+    # split sizing by BYTES, not tokens — the same bytes-per-program
+    # discipline as flash_decode's split sizing: the per-program fixed
+    # cost and the per-page descriptor cost both amortize against the
+    # bytes actually streamed, so 8-bit pools take double the tokens
+    # (bf16 2048-token spans measured 0.76x HBM roofline; int8 at the
+    # same BYTE span 0.48x vs 0.33x at half the byte span)
+    tokens = 2048 * max(1, 2 // max(itemsize, 1))
+    return max(1, min(max_pages, tokens // page_size))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret")
+    jax.jit, static_argnames=("sm_scale", "interpret", "gather")
 )
 def paged_flash_decode(
     q: jax.Array,
@@ -116,6 +243,7 @@ def paged_flash_decode(
     *,
     sm_scale: float | None = None,
     interpret: bool | None = None,
+    gather: bool = True,
 ) -> jax.Array:
     """Single-token GQA decode against a paged KV cache.
 
@@ -126,6 +254,10 @@ def paged_flash_decode(
         entries past a sequence's pages must still be VALID ids (e.g. 0);
         their compute is skipped via `lengths`.
       lengths: [B] int32 — valid tokens per sequence.
+      gather: True (default) = multi-page gather kernel (G pages per
+        program via explicit DMAs — the production path; see
+        _paged_gather_kernel). False = one-page-per-program BlockSpec
+        kernel (simpler; kept as the didactic/a-b variant).
 
     Returns [B, Hq, D] in q.dtype.
     """
@@ -143,6 +275,51 @@ def paged_flash_decode(
     qg = qg.reshape(b, hkv, g, d)
     if gp != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+
+    if gather:
+        gpages = _gather_pages_per_split(page_size, max_pages)
+        n_splits = -(-max_pages // gpages)
+        span = gpages * page_size
+        kernel = functools.partial(
+            _paged_gather_kernel, page_size=page_size, g_pages=gpages,
+            n_splits=n_splits,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hkv, n_splits),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, gp, d), lambda bb, h, s, tbl, ln: (bb, h, 0, 0)
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, gp, d), lambda bb, h, s, tbl, ln: (bb, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, span, d), k_pages.dtype),
+                pltpu.VMEM((2, span, d), v_pages.dtype),
+                pltpu.VMEM((gp, 128), jnp.float32),
+                pltpu.VMEM((gp, 128), jnp.float32),
+                pltpu.VMEM((gp, d), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2, gpages)),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, hkv, gp, d), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(
+            block_table.astype(jnp.int32),
+            lengths.astype(jnp.int32),
+            qg, k_pages, v_pages,
+        )
+        return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)
 
     kernel = functools.partial(
         _paged_decode_kernel, page_size=page_size, max_pages=max_pages
@@ -508,8 +685,115 @@ def _paged_decode_kernel_q(
         o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
 
 
+def _paged_gather_kernel_q(
+    table_ref,
+    len_ref,
+    q_ref,      # [1, 1, GP, D]
+    k_hbm,      # ANY [n_pages, Hkv, page, D] int8/fp8 — gathered manually
+    ks_ref,     # [1, 1, 1, span] f32 — scales PRE-GATHERED by the wrapper
+    v_hbm,
+    vs_ref,
+    o_ref,
+    k_buf,      # VMEM [2, G*page, D] 8-bit
+    v_buf,
+    m_scr,
+    l_scr,
+    acc_scr,
+    sem,        # DMA semaphores [2, 2, G] (slot x {k, v} x page)
+    *,
+    page_size: int,
+    g_pages: int,
+    n_splits: int,
+):
+    """8-bit variant of _paged_gather_kernel. Only the VALUE pages are
+    kernel-gathered: the lane-major scale rows are 512 B/page, and 32 tiny
+    descriptors per split measured ~1.1 us/program of pure issue cost
+    (int8 read 0.33x roofline vs bf16's 0.76x). The wrapper pre-gathers
+    the scales with one XLA take over the block table (a ~1 MB tensor for
+    the whole batch) and feeds them through the regular BlockSpec
+    pipeline. Dequant stays fused: K scale on the score tile, V scale
+    folded into the exp weights."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    s = pl.program_id(2)
+    length = len_ref[b]
+    span = g_pages * page_size
+
+    def dmas(s_idx, slot, i):
+        pid = _live_page(table_ref, len_ref, b, s_idx * g_pages + i,
+                         page_size)
+        sl = pl.ds(i * page_size, page_size)
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[pid, h], k_buf.at[slot, sl], sem.at[slot, 0, i]),
+            pltpu.make_async_copy(
+                v_hbm.at[pid, h], v_buf.at[slot, sl], sem.at[slot, 1, i]),
+        )
+
+    def issue(s_idx, slot):
+        for i in range(g_pages):
+            for c in dmas(s_idx, slot, i):
+                c.start()
+
+    slot = jax.lax.rem(s, 2)
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        issue(0, 0)
+
+    @pl.when(jnp.logical_and(s + 1 < n_splits, (s + 1) * span < length))
+    def _next():
+        issue(s + 1, 1 - slot)
+
+    live = s * span < length
+
+    @pl.when(jnp.logical_or(s == 0, live))
+    def _wait():
+        for i in range(g_pages):
+            for c in dmas(s, slot, i):
+                c.wait()
+
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_buf[slot].astype(q.dtype)
+        v = v_buf[slot].astype(q.dtype)
+        ks = ks_ref[0, 0]                  # [1, span] f32
+        vs = vs_ref[0, 0].astype(q.dtype)
+        gp = q.shape[0]
+        st = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * ks
+        col = s * span + jax.lax.broadcasted_iota(jnp.int32, (gp, span), 1)
+        st = jnp.where(col < length, st, NEG_INF)
+        m_prev = m_scr[:]
+        m_tile = jnp.max(st, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_tile)
+        scale = jnp.exp2(m_prev - m_next)
+        e = jnp.exp2((st - m_next[:, :1]).astype(v.dtype))
+        l_scr[:] = l_scr[:] * scale + jnp.sum(
+            e, axis=-1, keepdims=True, dtype=jnp.float32
+        )
+        pv = jax.lax.dot_general(
+            e * vs, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * scale[:, :1] + pv
+        m_scr[:] = m_next
+
+    @pl.when(s == n_splits - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret")
+    jax.jit, static_argnames=("sm_scale", "interpret", "gather")
 )
 def paged_flash_decode_quant(
     q: jax.Array,
@@ -522,6 +806,7 @@ def paged_flash_decode_quant(
     *,
     sm_scale: float | None = None,
     interpret: bool | None = None,
+    gather: bool = True,
 ) -> jax.Array:
     """paged_flash_decode against an 8-bit page pool.
 
@@ -549,6 +834,71 @@ def paged_flash_decode_quant(
     qg = qg.reshape(b, hkv, g, d)
     if gp != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+
+    if gather:
+        gpages = _gather_pages_per_split(page_size, max_pages, k_pages.dtype.itemsize)
+        n_splits = -(-max_pages // gpages)
+        span = gpages * page_size
+        # pre-gather the per-token scale rows (512 B/page — too small for
+        # per-page DMAs; see the kernel docstring): one XLA take over the
+        # table, [B, Hkv, 1, n_splits*span], padded cols hit masked lanes
+        def _scales(sp):
+            g_ = sp[block_table]  # [B, max_pages, Hkv, 1, page]
+            g_ = g_.transpose(0, 2, 3, 1, 4).reshape(
+                b, hkv, 1, max_pages * page_size
+            )
+            pad = n_splits * span - max_pages * page_size
+            if pad:
+                g_ = jnp.pad(g_, ((0, 0), (0, 0), (0, 0), (0, pad)))
+            return g_
+
+        ksg, vsg = _scales(k_scale_pages), _scales(v_scale_pages)
+        kernel = functools.partial(
+            _paged_gather_kernel_q, page_size=page_size, g_pages=gpages,
+            n_splits=n_splits,
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hkv, n_splits),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, gp, d), lambda bb, h, s, tbl, ln: (bb, h, 0, 0)
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (1, 1, 1, span), lambda bb, h, s, tbl, ln: (bb, h, 0, s)
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(
+                    (1, 1, 1, span), lambda bb, h, s, tbl, ln: (bb, h, 0, s)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, gp, d), lambda bb, h, s, tbl, ln: (bb, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, span, d), k_pages.dtype),
+                pltpu.VMEM((2, span, d), v_pages.dtype),
+                pltpu.VMEM((gp, 128), jnp.float32),
+                pltpu.VMEM((gp, 128), jnp.float32),
+                pltpu.VMEM((gp, d), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2, gpages)),
+            ],
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, hkv, gp, d), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(
+            block_table.astype(jnp.int32),
+            lengths.astype(jnp.int32),
+            qg, k_pages, ksg, v_pages, vsg,
+        )
+        return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)
 
     kernel = functools.partial(
         _paged_decode_kernel_q, page_size=page_size, max_pages=max_pages

@@ -28,7 +28,8 @@ def _paged_from_linear(k_lin, v_lin, page_size, pool, max_pages, n_pages):
     return k_pages, v_pages, tables
 
 
-def test_paged_decode_matches_oracle(rng):
+@pytest.mark.parametrize("gather", [True, False])
+def test_paged_decode_matches_oracle(rng, gather):
     b, hq, hkv, s, d, page = 3, 8, 2, 640, 64, 128
     q = rng.standard_normal((b, hq, d), dtype=np.float32)
     k = rng.standard_normal((b, hkv, s, d), dtype=np.float32)
@@ -39,7 +40,7 @@ def test_paged_decode_matches_oracle(rng):
     kp, vp, tables = _paged_from_linear(k, v, page, pool, 8, 32)
     got = ops.paged_flash_decode(
         jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
-        jnp.asarray(tables), jnp.asarray(lengths),
+        jnp.asarray(tables), jnp.asarray(lengths), gather=gather,
     )
     for i in range(b):
         exp = oracles.gqa_attention(
@@ -173,8 +174,9 @@ def test_engine_paged_decode_matches_linear(rng):
         tok = jnp.argmax(l1, -1).astype(jnp.int32)
 
 
+@pytest.mark.parametrize("gather", [True, False])
 @pytest.mark.parametrize("fmt", ["int8", "fp8"])
-def test_paged_decode_quant_matches_dequant_oracle(rng, fmt):
+def test_paged_decode_quant_matches_dequant_oracle(rng, fmt, gather):
     """8-bit page pool with lane-major per-token scale pages vs the oracle on
     the dequantized cache."""
     b, hq, hkv, s, d, page = 3, 8, 2, 640, 64, 128
@@ -205,7 +207,7 @@ def test_paged_decode_quant_matches_dequant_oracle(rng, fmt):
     got = ops.paged_flash_decode_quant(
         jnp.asarray(q), jnp.asarray(kp), jnp.asarray(ksp),
         jnp.asarray(vp), jnp.asarray(vsp),
-        jnp.asarray(tables), jnp.asarray(lengths),
+        jnp.asarray(tables), jnp.asarray(lengths), gather=gather,
     )
     kd = np.asarray(k_q, np.float32) * np.asarray(k_s, np.float32)
     vd = np.asarray(v_q, np.float32) * np.asarray(v_s, np.float32)
