@@ -389,6 +389,12 @@ def batched_matmul_softmax_epilogue(
     assert k == k2 and bias.shape == (n,), (a.shape, b.shape, bias.shape)
     block_m = min(block_m, m)
     block_k = min(block_k, k)
+    # scoped-VMEM clamp (measured: 17.3 MB OOM on-chip at block_m=512,
+    # N=2048): the fp32 row accumulator + its exp copy + double-buffered
+    # bf16 out (~3*bm*N*4 B) plus the double-buffered b stream (bk*N*4 B)
+    # must fit the 16 MB scoped budget
+    while block_m > 128 and (3 * block_m * n + block_k * n) * 4 > (11 << 20):
+        block_m //= 2
     a = _pad_to(a, (block_m, block_k))
     b = _pad_to(b, (block_k, 128))
     bias2d = _pad_to(bias[None, :], (1, 128))
