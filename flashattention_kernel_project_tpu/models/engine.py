@@ -953,7 +953,12 @@ def decode_step_paged(
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0,), static_argnames=("interpret", "axis")
+    jax.jit, static_argnums=(0,), static_argnames=("interpret", "axis"),
+    # donate the cache: every layer's page pool is functionally updated
+    # once per call — without donation XLA may materialize a full-pool
+    # copy per layer (advisor r2). Callers always replace the cache with
+    # the returned one (serving loop / tests), so the old buffers are dead.
+    donate_argnums=(3,),
 )
 def extend_paged(
     cfg: tfm.TransformerConfig,
@@ -972,7 +977,7 @@ def extend_paged(
     accept T more tokens within their allocated pages (the scheduler's
     reserve rows guarantee it). bf16 pool only."""
     from flashattention_kernel_project_tpu.ops.paged_decode import (
-        paged_append,
+        paged_append_chunk,
         paged_flash_extend,
     )
 
@@ -992,12 +997,12 @@ def extend_paged(
         k = tfm.apply_rope(k, sin, cos)
         kd = k.astype(cache.k_pages[0].dtype)
         vd = v.astype(cache.v_pages[0].dtype)
-        for tt in range(t):  # chunk append: T scatters (T = spec_k+1, small)
-            k_pages[i], v_pages[i] = paged_append(
-                k_pages[i], v_pages[i],
-                kd[:, tt], vd[:, tt],
-                cache.block_tables, cache.lengths + tt,
-            )
+        # one scatter for the whole T-token chunk (advisor r2: T sequential
+        # paged_append calls cost O(T) full-pool functional updates)
+        k_pages[i], v_pages[i] = paged_append_chunk(
+            k_pages[i], v_pages[i], kd, vd,
+            cache.block_tables, cache.lengths,
+        )
         qd = (
             q.transpose(0, 2, 1, 3).astype(cfg.dtype)
         )  # [B, Hq, T, D]

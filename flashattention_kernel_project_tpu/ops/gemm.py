@@ -28,8 +28,14 @@ from flashattention_kernel_project_tpu.utils.platform import default_interpret
 
 
 def _precision(dtype) -> jax.lax.Precision:
-    """fp32 inputs get the 3-pass bf16 ("HIGHEST") MXU path so the fp32 rung
-    is numerically fp32, like the reference's fp32 CUDA-core GEMMs; bf16/int8
+    """fp32 inputs get the full-fp32 ("HIGHEST") MXU decomposition — each
+    operand split into bf16 hi+lo and SIX bf16 passes accumulated — so the
+    fp32 rung is numerically fp32, like the reference's fp32 CUDA-core
+    GEMMs. platform.tpu_peak_flops("fp32") divides the bf16 peak by 6 to
+    match (advisor r2: pairing HIGHEST with a /3 denominator mis-scored
+    every fp32 rung; the 3-pass Precision.HIGH path is NOT lowerable by
+    Mosaic inside Pallas kernels — verified on-chip 2026-08-20:
+    "NotImplementedError: Unsupported dot precision: HIGH"). bf16/int8
     inputs take the native fast path."""
     return (
         jax.lax.Precision.HIGHEST

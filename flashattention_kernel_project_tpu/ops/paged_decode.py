@@ -227,7 +227,7 @@ def _gather_pages_per_split(page_size: int, max_pages: int,
     # bytes actually streamed, so 8-bit pools take double the tokens
     # (bf16 2048-token spans measured 0.76x HBM roofline; int8 at the
     # same BYTE span 0.48x vs 0.33x at half the byte span)
-    tokens = 2048 * max(1, 2 // max(itemsize, 1))
+    tokens = max(page_size, 4096 // max(itemsize, 1))  # 2048 tokens @ bf16
     return max(1, min(max_pages, tokens // page_size))
 
 
@@ -277,7 +277,9 @@ def paged_flash_decode(
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
 
     if gather:
-        gpages = _gather_pages_per_split(page_size, max_pages)
+        gpages = _gather_pages_per_split(
+            page_size, max_pages, k_pages.dtype.itemsize
+        )
         n_splits = -(-max_pages // gpages)
         span = gpages * page_size
         kernel = functools.partial(
@@ -574,6 +576,42 @@ def paged_append(
         for i in range(b):  # unrolled: per-slot dynamic_update_slice
             pages = one(pages, page_ids[i], offset[i], new[i])
         return pages
+
+    return write(k_pages, k_new), write(v_pages, v_new)
+
+
+def paged_append_chunk(
+    k_pages: jax.Array,
+    v_pages: jax.Array,
+    k_new: jax.Array,   # [B, T, Hkv, D]
+    v_new: jax.Array,
+    block_table: jax.Array,  # [B, max_pages]
+    lengths: jax.Array,      # [B] length BEFORE the append
+) -> tuple[jax.Array, jax.Array]:
+    """Append T tokens per sequence in ONE scatter per pool (advisor r2:
+    T sequential paged_append calls made XLA materialize O(T) full-pool
+    functional updates per layer on the speculative-verify path). Each
+    token's (page_id, offset) is computed up front; tokens may straddle
+    page boundaries freely since the scatter is per-token. Same capacity
+    guard as paged_append (overflow redirects to the junk page 0)."""
+    page_size = k_pages.shape[2]
+    max_pages = block_table.shape[1]
+    b, t = k_new.shape[:2]
+    pos = lengths[:, None] + jnp.arange(t, dtype=lengths.dtype)[None, :]
+    page_slot = pos // page_size                      # [B, T]
+    offset = pos % page_size
+    page_ids = jnp.take_along_axis(
+        block_table, jnp.clip(page_slot, 0, max_pages - 1), axis=1
+    )
+    page_ids = jnp.where(page_slot >= max_pages, 0, page_ids)
+    flat_pid = page_ids.reshape(-1)
+    flat_off = offset.reshape(-1)
+
+    def write(pages, new):
+        vals = new.reshape(b * t, new.shape[2], new.shape[3])
+        # no unique_indices: capacity-overflow rows can collide on the
+        # junk page 0, which must stay defined-garbage, not UB
+        return pages.at[flat_pid, :, flat_off, :].set(vals.astype(pages.dtype))
 
     return write(k_pages, k_new), write(v_pages, v_new)
 

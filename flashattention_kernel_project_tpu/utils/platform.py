@@ -65,16 +65,18 @@ def tpu_peak_flops(dtype: str = "bf16") -> float:
     """Peak matmul FLOP/s per chip for the attached TPU generation.
 
     "fp32" is the EFFECTIVE fp32-matmul ceiling: the MXU has no fp32 mode,
-    so Precision.HIGHEST decomposes each operand into bf16 hi+lo and runs 3
-    bf16 passes (hi*hi + hi*lo + lo*hi) — 1/3 of the bf16 rate. Reporting
-    fp32 rungs against the bf16 peak made them read as ~0.15x roofline when
-    they are really ~0.46x of what the hardware can do for fp32.
+    so Precision.HIGHEST decomposes each operand into bf16 hi+lo and runs
+    6 bf16 passes — 1/6 of the bf16 rate. This is the precision
+    gemm._precision selects for fp32 inputs, so the /6 denominator matches
+    the executed path. (The 3-pass Precision.HIGH decomposition would be
+    /3, but Mosaic cannot lower HIGH inside Pallas kernels — verified
+    on-chip 2026-08-20.)
     """
     bf16, int8, _ = _chip_peaks()
     if dtype in ("int8", "fp8"):
         return int8 * 1e12
     if dtype in ("fp32", "f32", "float32"):
-        return bf16 * 1e12 / 3.0
+        return bf16 * 1e12 / 6.0
     return bf16 * 1e12
 
 

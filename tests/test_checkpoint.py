@@ -20,6 +20,7 @@ def cfg():
     )
 
 
+@pytest.mark.smoke
 def test_checkpoint_roundtrip(tmp_path, cfg):
     params = models.init_params(cfg, jax.random.PRNGKey(0))
     opt = optax.adam(1e-3)

@@ -25,6 +25,7 @@ def _backends():
 
 
 @pytest.mark.parametrize("native", _backends())
+@pytest.mark.smoke
 def test_loader_crops_are_contiguous(token_file, native):
     with TokenLoader(
         token_file, batch=4, seq_len=64, seed=1, native=native

@@ -23,6 +23,7 @@ def _rand_qkv(rng, b, hq, hkv, n, s, d, dtype=np.float32):
 
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize("n,s", [(256, 256), (128, 384)])
+@pytest.mark.smoke
 def test_flash_forward_mha(rng, causal, n, s):
     q, k, v = _rand_qkv(rng, 2, 2, 2, n, s, 64)
     got = ops.flash_attention(
@@ -92,6 +93,7 @@ def test_flash_forward_unstable_overflow_is_detectable(rng):
     assert (not np.isfinite(fast).all()) or err >= 5e-3, err
 
 
+@pytest.mark.smoke
 def test_flash_forward_gqa(rng):
     q, k, v = _rand_qkv(rng, 1, 8, 2, 256, 256, 64)
     got = ops.flash_attention(
@@ -149,6 +151,7 @@ def test_flash_forward_bf16(rng):
     assert_rel_l2(np.asarray(got, np.float32), exp, tol=2e-2)
 
 
+@pytest.mark.smoke
 def test_flash_lse(rng):
     q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 256, 64)
     _, lse = ops.flash_attention_with_lse(

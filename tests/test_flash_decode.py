@@ -32,6 +32,7 @@ def _decode_oracle(q, k_cache, v_cache, lengths):
 
 @pytest.mark.parametrize("n_splits", [1, 4])
 @pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+@pytest.mark.smoke
 def test_flash_decode(rng, n_splits, hq, hkv):
     b, s_max, d = 3, 160, 64
     q = rng.standard_normal((b, hq, d), dtype=np.float32)

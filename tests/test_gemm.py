@@ -11,6 +11,7 @@ from flashattention_kernel_project_tpu.utils.testing import assert_max_abs, asse
 
 
 @pytest.mark.parametrize("m,k,n", [(256, 256, 256), (512, 384, 256), (200, 130, 72)])
+@pytest.mark.smoke
 def test_matmul_fp32(rng, m, k, n):
     a = rng.standard_normal((m, k), dtype=np.float32)
     b = rng.standard_normal((k, n), dtype=np.float32)
@@ -24,6 +25,7 @@ def test_matmul_xla_baseline(rng):
     assert_max_abs(ops.matmul_xla(jnp.asarray(a), jnp.asarray(b)), oracles.gemm(a, b), tol=1e-2)
 
 
+@pytest.mark.smoke
 def test_matmul_bf16(rng):
     a = rng.standard_normal((256, 256), dtype=np.float32)
     b = rng.standard_normal((256, 256), dtype=np.float32)

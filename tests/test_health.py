@@ -5,6 +5,7 @@ import pytest
 from flashattention_kernel_project_tpu.utils import health
 
 
+@pytest.mark.smoke
 def test_healthcheck_ok():
     r = health.device_healthcheck()
     assert r["ok"], r
@@ -18,6 +19,7 @@ def test_transient_classification():
     assert not health.is_transient_error(ValueError("shape mismatch"))
 
 
+@pytest.mark.smoke
 def test_with_retries_recovers_transient():
     calls = []
 

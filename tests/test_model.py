@@ -31,6 +31,7 @@ def params():
     return models.init_params(CFG, jax.random.PRNGKey(0))
 
 
+@pytest.mark.smoke
 def test_forward_shapes(params):
     tokens = jnp.zeros((2, 16), jnp.int32)
     logits = models.forward(CFG, params, tokens)
@@ -39,6 +40,7 @@ def test_forward_shapes(params):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.smoke
 def test_loss_and_grad(params):
     tokens = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, CFG.vocab_size)
     loss, grads = jax.value_and_grad(lambda p: models.loss_fn(CFG, p, tokens))(params)

@@ -59,6 +59,7 @@ def _numpy_moe_oracle(params, x, cfg):
     return out.reshape(x.shape)
 
 
+@pytest.mark.smoke
 def test_moe_ffn_vs_oracle(rng, params):
     x = rng.standard_normal((2, 16, CFG.d_model)).astype(np.float32)
     got = moe_out = models.moe_ffn(params, jnp.asarray(x), CFG)

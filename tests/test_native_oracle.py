@@ -12,6 +12,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
+@pytest.mark.smoke
 def test_native_gemm(rng):
     a = rng.standard_normal((128, 96), dtype=np.float32)
     b = rng.standard_normal((96, 64), dtype=np.float32)
@@ -37,6 +38,7 @@ def test_native_attention(rng, causal, q_offset):
 # Native continuous-batching scheduler core (runtime/scheduler.cpp)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.smoke
 def test_scheduler_core_native_builds():
     from flashattention_kernel_project_tpu.runtime import native
 

@@ -29,6 +29,7 @@ def _paged_from_linear(k_lin, v_lin, page_size, pool, max_pages, n_pages):
 
 
 @pytest.mark.parametrize("gather", [True, False])
+@pytest.mark.smoke
 def test_paged_decode_matches_oracle(rng, gather):
     b, hq, hkv, s, d, page = 3, 8, 2, 640, 64, 128
     q = rng.standard_normal((b, hq, d), dtype=np.float32)
@@ -125,6 +126,7 @@ def test_paged_append_then_decode(rng):
     assert_rel_l2(np.asarray(got), np.asarray(exp_all), tol=1e-3)
 
 
+@pytest.mark.smoke
 def test_page_pool():
     pool = ops.PagePool(8)
     a = pool.alloc(3)

@@ -24,6 +24,7 @@ def mesh_2x4():
     return parallel.make_mesh({"data": 2, "model": 4})
 
 
+@pytest.mark.smoke
 def test_head_sharded_attention(rng, mesh8):
     b, hq, hkv, n, d = 2, 16, 8, 128, 32
     q = rng.standard_normal((b, hq, n, d), dtype=np.float32)
@@ -114,6 +115,7 @@ def test_ulysses_attention(rng, causal):
     assert_rel_l2(got, exp, tol=1e-2)
 
 
+@pytest.mark.smoke
 def test_merge_normalized_identity():
     """Merging with an empty partial is the identity."""
     o = jnp.ones((2, 3, 4, 8))

@@ -18,6 +18,7 @@ def cfg():
     )
 
 
+@pytest.mark.smoke
 def test_pp_loss_matches_reference(cfg):
     params = models.init_params(cfg, jax.random.PRNGKey(0))
     tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, 64)

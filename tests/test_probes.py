@@ -13,6 +13,7 @@ from flashattention_kernel_project_tpu.ops import probes
     [probes.copy_probe, probes.qk_probe, probes.pv_probe, probes.softmax_chain_probe],
     ids=["copy", "qk", "pv", "softmax_chain"],
 )
+@pytest.mark.smoke
 def test_probe_runs(rng, probe):
     q = jnp.asarray(rng.standard_normal((1, 2, 64, 32)), dtype=jnp.float32)
     k = jnp.asarray(rng.standard_normal((1, 2, 64, 32)), dtype=jnp.float32)

@@ -7,8 +7,10 @@ import numpy as np
 from flashattention_kernel_project_tpu import ops
 from flashattention_kernel_project_tpu.utils import oracles
 from flashattention_kernel_project_tpu.utils.testing import assert_max_abs, assert_rel_l2
+import pytest
 
 
+@pytest.mark.smoke
 def test_int8_roundtrip(rng):
     x = rng.standard_normal((64, 256), dtype=np.float32)
     q, scale = ops.quantize_int8(jnp.asarray(x))
@@ -25,6 +27,7 @@ def test_fp8_roundtrip(rng):
     assert_rel_l2(back, x, tol=0.06)  # e4m3 has ~2 decimal digits
 
 
+@pytest.mark.smoke
 def test_matmul_int8_weights(rng):
     m, k, n = 128, 256, 256
     x = rng.standard_normal((m, k), dtype=np.float32).astype(np.float32)

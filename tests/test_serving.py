@@ -32,6 +32,7 @@ def _isolated_reference(params, prompt, n_new):
     return list(np.asarray(ref)[0, prompt.shape[0]:])
 
 
+@pytest.mark.smoke
 def test_scheduler_matches_isolated_generation():
     params = models.init_params(CFG, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -49,6 +50,7 @@ def test_scheduler_matches_isolated_generation():
         assert out[uid] == exp, (uid, out[uid], exp)
 
 
+@pytest.mark.smoke
 def test_scheduler_eos_frees_slot():
     params = models.init_params(CFG, jax.random.PRNGKey(1))
     sched = Scheduler(CFG, params, max_batch=1, max_len=128, eos_token=None)

@@ -16,6 +16,7 @@ from flashattention_kernel_project_tpu.utils.testing import assert_max_abs
 
 
 @pytest.mark.parametrize("shape", [(64, 128), (4096, 512), (7, 33), (4, 8, 256)])
+@pytest.mark.smoke
 def test_softmax_kernel(rng, shape):
     x = rng.standard_normal(shape, dtype=np.float32) * 4.0
     got = ops.softmax(jnp.asarray(x))
@@ -34,6 +35,7 @@ def _random_state(rng, rows, dv):
     return ops.tile_state(jnp.asarray(scores), jnp.asarray(values))
 
 
+@pytest.mark.smoke
 def test_merge_associative_and_commutative(rng):
     rows, dv = 8, 32
     sa, sb, sc = (_random_state(rng, rows, dv) for _ in range(3))

@@ -12,6 +12,7 @@ from flashattention_kernel_project_tpu.utils.testing import assert_rel_l2
 
 
 @pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+@pytest.mark.smoke
 def test_streaming_decode_matches_oracle(rng, hq, hkv):
     b, s_max, d = 3, 160, 64
     q = rng.standard_normal((b, hq, d), dtype=np.float32)

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from flashattention_kernel_project_tpu import models, parallel
+import pytest
 
 CFG = models.TransformerConfig(
     vocab_size=64,
@@ -21,6 +22,7 @@ CFG = models.TransformerConfig(
 )
 
 
+@pytest.mark.smoke
 def test_tp_dp_step_matches_single_device():
     params = models.init_params(CFG, jax.random.PRNGKey(0))
     tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 32), 0, CFG.vocab_size)
