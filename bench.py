@@ -56,22 +56,13 @@ def main():
     k = jnp.asarray(rng.standard_normal((B, HKV, N, D)), dtype=jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((B, HKV, N, D)), dtype=jnp.bfloat16)
 
-    # Headline runs the fixed-max (stable=False) softmax discipline — no
-    # max reduce, no (m,l,acc) rescale (FlashDecoding++-style; see the
-    # flash_attention docstring for the bounded-logit condition). It is
-    # cross-checked against the max-stable kernel right here and the
-    # measurement FALLS BACK to stable if the check fails, so the reported
-    # number is always within the 1e-2 oracle gate.
-    import numpy as _np
-
-    fa_fast = functools.partial(ops.flash_attention, causal=CAUSAL, stable=False)
-    fa_safe = functools.partial(ops.flash_attention, causal=CAUSAL, stable=True)
-    o_fast = _np.asarray(fa_fast(q, k, v), _np.float32)
-    o_safe = _np.asarray(fa_safe(q, k, v), _np.float32)
-    err = float(
-        _np.linalg.norm(o_fast - o_safe) / max(_np.linalg.norm(o_safe), 1e-30)
-    )
-    fa = fa_fast if err < 5e-3 else fa_safe
+    # Headline runs stable="auto": the hybrid kernel dispatches fixed-max
+    # vs online-rescale PER Q BLOCK on an in-SMEM Cauchy-Schwarz score
+    # bound, so it is unconditionally correct on ANY input — no
+    # bounded-logit caveat and no host-side cross-check needed (the r2
+    # fallback guard is subsumed by the in-kernel one; see
+    # flash_attention's `stable` doc and docs/perf_journal.md round 3).
+    fa = functools.partial(ops.flash_attention, causal=CAUSAL, stable="auto")
 
     # causal useful FLOPs: 2 matmuls, half the score matrix
     flops = 4 * B * H * N * N * D * (0.5 if CAUSAL else 1.0)

@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--seq", type=int, default=4096)
     ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--moe-experts", type=int, default=0,
+                    help="replace every MLP with a top-2 MoE of N experts")
     args = ap.parse_args()
 
     import jax
@@ -35,7 +37,7 @@ def main():
     cfg = models.TransformerConfig(
         vocab_size=32000, d_model=2048, n_layers=args.layers, n_heads=16,
         n_kv_heads=4, d_head=128, d_ff=5504, dtype=jnp.bfloat16,
-        block_q=1024, block_k=1024,
+        block_q=1024, block_k=1024, moe_experts=args.moe_experts,
     )
     params = models.init_params(cfg, jax.random.PRNGKey(0))
     tokens = jnp.asarray(
@@ -74,7 +76,8 @@ def main():
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     flops = 6 * n_params * args.batch * args.seq
     print(
-        f"train b={args.batch} seq={args.seq} layers={cfg.n_layers}: "
+        f"train b={args.batch} seq={args.seq} layers={cfg.n_layers} "
+        f"moe={args.moe_experts}: "
         f"{per_step*1e3:.1f} ms/step, {toks:,.0f} tok/s, "
         f"~{flops/per_step/1e12:.1f} TFLOP/s (param-flops only)"
     )

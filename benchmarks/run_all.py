@@ -145,6 +145,11 @@ def build_benches(quick: bool, long: bool = False):
     reg("flashattn_fwd_full_d128_seq4k_fast",
         functools.partial(ops.flash_attention, causal=False, stable=False),
         (q, k, v), flops=4 * B * H * N * N * D)
+    # hybrid per-q-block discipline (stable="auto"): unconditionally
+    # correct on any input — the caveat-free headline discipline
+    reg("flashattn_fwd_causal_d128_seq4k_auto",
+        functools.partial(ops.flash_attention, causal=True, stable="auto"),
+        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5))
 
     # BASELINE.md tracks attention-fwd vs roofline at d in {64,128} and
     # seq 4K-32K — the long-seq sweep (--long: the chained timing programs
@@ -191,6 +196,12 @@ def build_benches(quick: bool, long: bool = False):
     v64 = jnp.asarray(rng.standard_normal((B, HKV, N, D64)), jnp.bfloat16)
     reg("flashattn_fwd_causal_d64_seq4k",
         functools.partial(ops.flash_attention, causal=True),
+        (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5))
+    # d64 fixed-max: the KV-head-paired kernel (_fwd_kernel_packed) with
+    # MXU-computed softmax sums — see perf_journal r3 for the measured
+    # 0.50x structural MXU floor at this head dim
+    reg("flashattn_fwd_causal_d64_seq4k_fast",
+        functools.partial(ops.flash_attention, causal=True, stable=False),
         (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5))
 
     # KV-quantized prefill (fused in-kernel dequant): 4K point, plus the

