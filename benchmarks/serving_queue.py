@@ -61,6 +61,21 @@ def grab(pattern: str, text: str) -> float | None:
     return float(m.group(1)) if m else None
 
 
+def _flush(rows, out):
+    # merge-write after EVERY case: a serving case costs many minutes of
+    # bucket compiles, and losing the finished ones to an outer timeout
+    # is the r2 ladder's near-miss failure mode
+    try:
+        existing = json.load(open(out))
+    except (OSError, json.JSONDecodeError):
+        existing = []
+    names = {r["name"] for r in rows}
+    existing = [r for r in existing if r.get("name") not in names]
+    existing.extend(rows)
+    with open(out, "w") as f:
+        json.dump(existing, f, indent=2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(HERE, "results.json"))
@@ -69,9 +84,22 @@ def main():
 
     rows = []
     req = "16" if args.quick else "32"
+    # --quick also shrinks the model (4 layers): a serving case costs
+    # minutes of per-bucket compiles over the tunnel; the scheduler-delta
+    # questions (paged vs linear, multi_step, spec plumbing) don't need
+    # the 8-layer model
+    common = ["--requests", req] + (["--layers", "4"] if args.quick else [])
 
     # --- scheduler tok/s: backend x quantization x multi_step ------------
     serving_cases = [
+        ("serving_linear_bf16", ["--backend", "linear"]),
+        ("serving_paged_bf16", ["--backend", "paged"]),
+        ("serving_linear_int8", ["--backend", "linear", "--int8"]),
+        ("serving_linear_multistep4", ["--backend", "linear",
+                                       "--multi-step", "4"]),
+        ("serving_linear_multistep8", ["--backend", "linear",
+                                       "--multi-step", "8"]),
+    ] if args.quick else [
         ("serving_linear_bf16", ["--backend", "linear"]),
         ("serving_paged_bf16", ["--backend", "paged"]),
         ("serving_linear_int8", ["--backend", "linear", "--int8"]),
@@ -84,8 +112,7 @@ def main():
                                        "--multi-step", "8"]),
     ]
     for name, extra in serving_cases:
-        out = run([os.path.join(HERE, "bench_serving.py"),
-                   "--requests", req] + extra)
+        out = run([os.path.join(HERE, "bench_serving.py")] + common + extra)
         v = grab(r"= ([\d.]+) tok/s", out)
         row = dict(name=name, **provenance())
         if v is None:
@@ -96,10 +123,12 @@ def main():
             if ttft is not None:
                 row["ttft_ms_mean"] = ttft
         rows.append(row)
+        _flush(rows, args.out)
 
     # --- speculative decoding k sweep ------------------------------------
-    for k in (2, 4, 8):
-        out = run([os.path.join(HERE, "bench_spec.py"), "--spec-k", str(k)])
+    for k in ((4,) if args.quick else (2, 4, 8)):
+        out = run([os.path.join(HERE, "bench_spec.py"), "--spec-k", str(k)]
+                  + (["--layers", "4"] if args.quick else []))
         plain = grab(r"plain decode: ([\d.]+) tok/s", out)
         spec = grab(r"L: ([\d.]+) tok/s", out)
         speed = grab(r"speedup ([\d.]+)x", out)
@@ -110,6 +139,7 @@ def main():
             row.update(tok_per_s=spec, plain_tok_per_s=plain,
                        speedup=speed, unit="tok/s")
         rows.append(row)
+        _flush(rows, args.out)
 
     # --- train step: dense vs MoE ----------------------------------------
     for name, extra in (
@@ -126,17 +156,7 @@ def main():
         else:
             row.update(tok_per_s=v, ms_per_step=ms, unit="tok/s")
         rows.append(row)
-
-    # append to the canonical results file (replace same-name rows)
-    try:
-        existing = json.load(open(args.out))
-    except (OSError, json.JSONDecodeError):
-        existing = []
-    names = {r["name"] for r in rows}
-    existing = [r for r in existing if r.get("name") not in names]
-    existing.extend(rows)
-    with open(args.out, "w") as f:
-        json.dump(existing, f, indent=2)
+        _flush(rows, args.out)
     print(f"wrote {len(rows)} serving rows -> {args.out}")
 
 

@@ -503,32 +503,42 @@ def _fwd_kernel(
 
     # fixed-max masked blocks go through the sub-predicated path; the online
     # (stable) discipline keeps the whole-block instantiation (its carry
-    # rescale is order-sensitive across subs). Hybrid predicates BOTH
-    # disciplines' instantiations on the per-block bound — one runs.
-    if hybrid:
-        fast_masked = (
-            _compute_masked_fast if diag_subs > 1
-            else (lambda: _compute(True, False))
-        )
+    # rescale is order-sensitive across subs). Hybrid emits BOTH
+    # disciplines' instantiations, predicated FLAT on cond & bound (nested
+    # pl.when regions each pay a fixed entry cost — measured ~0.15 us per
+    # program).
+    fast_masked_fn = (
+        _compute_masked_fast
+        if diag_subs > 1
+        else (lambda: _compute(True, False))
+    )
 
-        def masked_fn():
-            pl.when(pred_fast)(fast_masked)
-            pl.when(jnp.logical_not(pred_fast))(
-                lambda: _compute(True, True)
+    def _run(cond, masked):
+        # dispatch one (liveness-cond, mask-mode) cell; hybrid splits it
+        # into fast/stable by the per-block bound predicate
+        if hybrid:
+            ffn = fast_masked_fn if masked else (
+                lambda: _compute(False, False)
             )
-
-        def unmasked_fn():
-            pl.when(pred_fast)(lambda: _compute(False, False))
-            pl.when(jnp.logical_not(pred_fast))(
-                lambda: _compute(False, True)
+            sfn = (lambda m=masked: _compute(m, True))
+            if cond is None:
+                pl.when(pred_fast)(ffn)
+                pl.when(jnp.logical_not(pred_fast))(sfn)
+            else:
+                pl.when(jnp.logical_and(cond, pred_fast))(ffn)
+                pl.when(
+                    jnp.logical_and(cond, jnp.logical_not(pred_fast))
+                )(sfn)
+            return
+        if masked:
+            fn = (
+                _compute_masked_fast
+                if (not stable and diag_subs > 1)
+                else (lambda: _compute(True))
             )
-    else:
-        masked_fn = (
-            _compute_masked_fast
-            if (not stable and diag_subs > 1)
-            else (lambda: _compute(True))
-        )
-        unmasked_fn = lambda: _compute(False)  # noqa: E731
+        else:
+            fn = lambda: _compute(False)  # noqa: E731
+        pl.when(cond)(fn) if cond is not None else fn()
 
     # Statement-level predication (pl.when), NOT lax.cond: a value-level cond
     # forces the [block_q, block_k] f32 score tile through branch yields,
@@ -547,16 +557,14 @@ def _fwd_kernel(
                 < q_idx * block_q + q_offset + (block_q - 1) - (window - 1)
             )
             needs_mask = jnp.logical_or(needs_mask, crosses_win)
-        pl.when(jnp.logical_and(diag_ok, needs_mask))(masked_fn)
-        pl.when(jnp.logical_and(diag_ok, jnp.logical_not(needs_mask)))(
-            unmasked_fn
-        )
+        _run(jnp.logical_and(diag_ok, needs_mask), True)
+        _run(jnp.logical_and(diag_ok, jnp.logical_not(needs_mask)), False)
     elif need_tail:
         is_tail = kv_idx == n_kv - 1
-        pl.when(is_tail)(masked_fn)
-        pl.when(jnp.logical_not(is_tail))(unmasked_fn)
+        _run(is_tail, True)
+        _run(jnp.logical_not(is_tail), False)
     else:
-        unmasked_fn()
+        _run(None, False)
 
     @pl.when(j_raw == n_kv_grid - 1)
     def _finish():
@@ -946,10 +954,6 @@ def _fwd(
     qf32 = q.astype(jnp.float32) * (sm_scale * _LOG2E)
     kmax = None
     if hybrid:
-        import os as _os
-        if _os.environ.get("FKP_HYBRID_NONORM"):  # perf-isolation probe
-            kmax = jnp.zeros((1, 1), jnp.float32)
-    if hybrid and kmax is None:
         # the k half of the per-block score bound: one O(S*D) read; the q
         # half is computed in-kernel from the resident q tile (see
         # _fwd_kernel's _init), so "auto" costs no extra pass over q.

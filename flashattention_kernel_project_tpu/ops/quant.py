@@ -76,9 +76,17 @@ def _matmul_w8_kernel(x_ref, w_ref, scale_ref, o_ref, acc_ref, *, n_k: int):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # int8 weight tile cast in-VMEM; per-column scale lands on the fp32
-    # accumulator at the end, so the MXU runs an unscaled bf16 matmul.
-    w = w_ref[:].astype(jnp.bfloat16)
+    # Per-column scale lands on the fp32 accumulator at the end, so the
+    # MXU runs an unscaled matmul. int8 tiles cast to bf16 in-VMEM; fp8
+    # tiles feed the dot DIRECTLY — Mosaic promotes fp8 operands inside
+    # the matmul at the full bf16 rate, while an explicit fp8->bf16 cast
+    # forces a path that halves throughput (measured on-chip 2026-08-20:
+    # cast 86.8 TF vs direct 174.3 TF at 4096^3; the standalone VPU cast
+    # itself is free at 28 TB/s — the slowdown is in the dot's lowering
+    # after a cast, docs/perf_journal.md r3).
+    w = w_ref[:]
+    if w.dtype == jnp.int8:
+        w = w.astype(jnp.bfloat16)
     acc_ref[:] += jnp.dot(
         x_ref[:].astype(jnp.bfloat16), w, preferred_element_type=jnp.float32
     )
