@@ -85,13 +85,24 @@ def main():
         draft_cfg=draft_cfg, draft_params=draft_params,
         spec_k=args.spec_k, max_new_tokens=args.max_new,
     ))
-    assert (out_plain == out_spec).all(), "greedy spec must match greedy"
-
+    # Token agreement, not assertion: spec commits the TARGET's argmax from
+    # the extend (prefill-shaped) kernels while plain decode argmaxes the
+    # decode-step kernels — bitwise-equal in f32 (tests pin it on CPU),
+    # but bf16 on-chip the two paths can flip near-tie argmaxes, after
+    # which the sequences legitimately diverge. Report the first-token
+    # agreement window instead of crashing the bench.
+    agree = 0
+    for a, b in zip(np.asarray(out_plain).T, np.asarray(out_spec).T):
+        if (a == b).all():
+            agree += 1
+        else:
+            break
     toks = args.batch * args.max_new
     print(
         f"plain decode: {toks / dt_plain:,.0f} tok/s | "
         f"spec k={args.spec_k} draft={draft_cfg.n_layers}L: "
-        f"{toks / dt_spec:,.0f} tok/s | speedup {dt_plain / dt_spec:.2f}x"
+        f"{toks / dt_spec:,.0f} tok/s | speedup {dt_plain / dt_spec:.2f}x | "
+        f"greedy-agree {agree}/{out_plain.shape[-1]} tokens"
     )
 
 
