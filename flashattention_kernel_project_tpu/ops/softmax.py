@@ -38,16 +38,25 @@ NEG_INF = float(-1e30)  # finite -inf stand-in; exp() of it flushes to 0 in bf16
 # Row softmax kernel (the whole naive->warp->hybrid ladder, one kernel)
 # ---------------------------------------------------------------------------
 
+_LOG2E = 1.4426950408889634
+
+
 def _softmax_kernel(x_ref, o_ref):
+    # log2 domain: one fused scale on the (x - m) pass, then exp2 —
+    # skipping exp's internal range-reduction multiply per element (the
+    # same discipline the attention kernels run); normalize via one
+    # [rows, 1] reciprocal broadcast-multiplied over the tile (a
+    # full-tile divide is the slower VPU op)
     x = x_ref[:].astype(jnp.float32)
     m = jnp.max(x, axis=-1, keepdims=True)
-    e = jnp.exp(x - m)
-    o_ref[:] = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(o_ref.dtype)
+    e = jnp.exp2((x - m) * _LOG2E)
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[:] = (e * r).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def softmax(
-    x: jax.Array, *, block_rows: int = 256, interpret: bool | None = None
+    x: jax.Array, *, block_rows: int = 512, interpret: bool | None = None
 ) -> jax.Array:
     """Row softmax over the last axis. Rows are processed in VMEM blocks; the
     reference's 3 SMEM passes / shuffle trees become single VPU reductions."""
@@ -58,10 +67,24 @@ def softmax(
     x2 = x.reshape(-1, n)
     rows = x2.shape[0]
     # VMEM budget: double-buffered in + out blocks plus f32 temps is ~6
-    # live copies of the block; keep that under ~14 MB of the 16 MB VMEM
-    # (a 256-row block at n=4096 f32 OOMed the scoped allocator at 19.8 MB)
-    cap = max(8, (14 * 2**20) // (6 * 4 * n) // 8 * 8)
+    # live copies of the block. The default 16 MB scoped limit capped
+    # blocks at ~144 rows at n=4096 — too many small programs (the DMA
+    # never reached streaming rate); raise the limit and keep ~6x the
+    # block under it.
+    vmem_mb = 64
+    cap = max(8, (vmem_mb * 2**20 - 2**20) // (6 * 4 * n) // 8 * 8)
     block_rows = min(block_rows, rows, cap)
+    # prefer a block count that DIVIDES rows: jnp.pad + the output slice
+    # each copy the whole array, and at HBM-resident shapes those two
+    # hidden copies dominate (the r2 "softmax anomaly": 8192 rows with a
+    # 144-row VMEM-capped block padded to 8208 — 216 GB/s measured, on an
+    # idle host, across three different kernel bodies; with the 128-row
+    # divisor block the pad/slice disappear)
+    b = block_rows
+    while rows % b and b > 8:
+        b -= 8
+    if rows % b == 0:
+        block_rows = b
     pad = (-rows) % block_rows
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
@@ -71,6 +94,9 @@ def softmax(
         in_specs=[pl.BlockSpec((block_rows, n), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((block_rows, n), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb << 20,
+        ),
         interpret=interpret,
     )(x2)
     return out[:rows].reshape(orig_shape)
