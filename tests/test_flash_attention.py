@@ -172,6 +172,68 @@ def test_flash_forward_auto_gqa_stacked(rng):
     assert np.isfinite(np.asarray(g)).all()
 
 
+def test_flash_forward_auto_cached_kmax(rng):
+    """k_max caching mode: auto with ops.k_max_norm(k) precomputed must
+    equal plain auto bit-for-bit (the cached scalar IS the value the
+    kernel would compute), gradients must flow, and an OVER-estimated
+    k_max must stay correct (routes more blocks to the stable branch)."""
+    q, k, v = _rand_qkv(rng, 1, 4, 2, 256, 256, 64)
+    qj, kj, vj = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    plain = ops.flash_attention(qj, kj, vj, causal=True, stable="auto")
+    cached = ops.flash_attention(
+        qj, kj, vj, causal=True, stable="auto", k_max=ops.k_max_norm(kj),
+    )
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(cached))
+    # any over-estimate is sound (falls back toward stable, never wrong)
+    over = ops.flash_attention(
+        qj, kj, vj, causal=True, stable="auto", k_max=1e6,
+    )
+    assert_rel_l2(over, oracles.gqa_attention(q, k, v, causal=True),
+                  tol=1e-2)
+
+    def loss(q, k, v):
+        o = ops.flash_attention(
+            q, k, v, causal=True, stable="auto", k_max=ops.k_max_norm(k)
+        )
+        return (o.astype(jnp.float32) ** 2).sum()
+
+    g = jax.grad(loss)(qj, kj, vj)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_flash_forward_ragged_auto_maps_to_stable(rng):
+    """flash_attention_ragged(stable="auto") routes to the online path
+    explicitly (the ragged kernel has no hybrid instantiation) and matches
+    stable=True exactly (ADVICE r3)."""
+    q, k, v = _rand_qkv(rng, 2, 2, 2, 128, 256, 64)
+    kv_lens = jnp.asarray([200, 256], jnp.int32)
+    q_offsets = jnp.asarray([72, 128], jnp.int32)
+    a = ops.flash_attention_ragged(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kv_lens, q_offsets,
+        causal=True, stable="auto", block_q=128, block_k=128,
+    )
+    b = ops.flash_attention_ragged(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), kv_lens, q_offsets,
+        causal=True, stable=True, block_q=128, block_k=128,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_forward_guard_count_exact(rng):
+    """The guard flag's bad-row count is the TRUE row count (not 8x —
+    ADVICE r3): craft exactly one overflowing q row and expect 1."""
+    from flashattention_kernel_project_tpu.ops.flash_attention import _fwd
+
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 256, 64)
+    q[0, 0, 5, :] = 90.0  # one row far outside the fixed-max range
+    k[:, :, :, :] = np.abs(k)  # keep scores positive so exp2 overflows
+    out, lse, bad = _fwd(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), False, None, 0,
+        128, 128, None, stable=False, guard=True,
+    )
+    assert int(np.asarray(bad)) == 1, np.asarray(bad)
+
+
 def test_flash_forward_auto_kv_quant(rng):
     """auto through the int8 KV-cache kernel (guard + quant refs coexist)."""
     q, k, v = _rand_qkv(rng, 1, 4, 2, 128, 256, 64)
