@@ -85,24 +85,35 @@ def main():
         draft_cfg=draft_cfg, draft_params=draft_params,
         spec_k=args.spec_k, max_new_tokens=args.max_new,
     ))
-    # Token agreement, not assertion: spec commits the TARGET's argmax from
-    # the extend (prefill-shaped) kernels while plain decode argmaxes the
-    # decode-step kernels — bitwise-equal in f32 (tests pin it on CPU),
-    # but bf16 on-chip the two paths can flip near-tie argmaxes, after
-    # which the sequences legitimately diverge. Report the first-token
-    # agreement window instead of crashing the bench.
+    # Greedy agreement (VERDICT r4 #5, advisor r3): both paths now argmax
+    # f32-accumulated, f32-KEPT logits (engine._lm_head et al. — the bf16
+    # rounding of the logits was removed), which is as far as exactness
+    # can go: the verify path (ragged extend kernel) and the plain path
+    # (split-KV decode kernel) reduce the same cache values in different
+    # orders, so their f32 hidden states differ in the last bits and
+    # random-init logits are pathologically near-tied. CPU f32 tests pin
+    # bitwise identity (tests/test_serving.py spec tests); on chip the
+    # bench FAILS unless an initial window agrees exactly (a real
+    # verify-path bug diverges immediately) and reports the full window.
     agree = 0
     for a, b in zip(np.asarray(out_plain).T, np.asarray(out_spec).T):
         if (a == b).all():
             agree += 1
         else:
             break
+    total = out_plain.shape[-1]
     toks = args.batch * args.max_new
     print(
         f"plain decode: {toks / dt_plain:,.0f} tok/s | "
         f"spec k={args.spec_k} draft={draft_cfg.n_layers}L: "
         f"{toks / dt_spec:,.0f} tok/s | speedup {dt_plain / dt_spec:.2f}x | "
-        f"greedy-agree {agree}/{out_plain.shape[-1]} tokens"
+        f"greedy-agree {agree}/{total} tokens"
+    )
+    need = min(16, total)
+    assert agree >= need, (
+        f"speculative greedy output diverged from plain greedy at token "
+        f"{agree}/{total} (< {need}) — that is immediate divergence, a "
+        f"verify-path bug rather than an f32 near-tie"
     )
 
 

@@ -185,21 +185,68 @@ def build_benches(quick: bool, long: bool = False):
                 functools.partial(ops.flash_attention, causal=True,
                                   stable=False, window=W),
                 (ql, kl, vl), flops=4 * B * H * pairs * D)
-    # backward pass (training path): dq/dk/dv via the Pallas FA2-recompute
-    # kernels. Useful FLOPs ~= 2.5x forward (5 matmuls vs 2: qk + pv
-    # recompute, dv, dp, dq, dk), causal halves the score pairs.
+    # Backward pass. ROUND-4 CORRECTION: the r1-r3 rung's chain consumed
+    # only dq, so XLA dead-code-eliminated the dkdv kernel inside the
+    # timed loop — the recorded 111-124 TF "bwd" numbers measured
+    # fwd + dq-kernel only (docs/perf_journal.md r4). Every chain below
+    # couples ALL returned grads into the carry (data-dependent 1e-20
+    # terms XLA cannot fold) so nothing is elided.
     import jax as _jax
+    from flashattention_kernel_project_tpu.ops.flash_attention import (
+        _bwd_pallas as _bwdp,
+    )
+
+    def _couple(main, *rest):
+        x = main.astype(jnp.float32)
+        for r in rest:
+            x = x + r.astype(jnp.float32).mean() * 1e-20
+        return x.astype(jnp.bfloat16)
 
     def _fa_grads(q_, k_, v_):
         f = lambda a, b, c: ops.flash_attention(  # noqa: E731
-            a, b, c, causal=True
+            a, b, c, causal=True, stable="auto"
         ).astype(jnp.float32).sum()
         return _jax.grad(f, argnums=(0, 1, 2))(q_, k_, v_)
 
-    reg("flashattn_bwd_causal_d128_seq4k", _fa_grads, (q, k, v),
+    def _bwd_res(q_, k_, v_, seqk):
+        o_, l_ = ops.flash_attention_with_lse(q_, k_, v_, causal=True)
+        _jax.block_until_ready(o_)
+        return (q_, k_, v_, o_, l_)
+
+    # bwd-only rung: the VJP given saved residuals — 5 matmul units
+    # (s + dp recompute, dv, dk, dq), all executed AND all useful in the
+    # fused kernel (no 5/7 recompute waste; VERDICT r4 task 2)
+    res4 = _bwd_res(q, k, v, 4)
+    smr = 1.0 / float(np.sqrt(D))
+
+    def _bwd_only(g_, res=res4):
+        return _bwdp(res, g_, True, smr, 0, None, None, None)
+
+    reg("flashattn_bwd_causal_d128_seq4k", _bwd_only, (q,),
         flops=int(10 * B * H * N * N * D * 0.5),
-        chain=lambda out, args: (out[0].astype(jnp.bfloat16), args[1],
+        chain=lambda out, args: (_couple(out[0], out[1], out[2]),))
+    # grad rung (training step shape): fwd + bwd in one call; useful = 7
+    # units (2 fwd + 5 bwd), causal-halved
+    reg("flashattn_grad_causal_d128_seq4k", _fa_grads, (q, k, v),
+        flops=int(14 * B * H * N * N * D * 0.5),
+        chain=lambda out, args: (_couple(out[0], out[1], out[2]), args[1],
                                  args[2]))
+    # bwd at 8K (fused form's gate boundary) and the 16/32K two-kernel
+    # form (n_kv > 8 -> partials traffic would dominate; VERDICT r4)
+    for seq_k in ((8, 16, 32) if long else ()):
+        Nl = seq_k * 1024
+        qb = jnp.asarray(rng.standard_normal((B, H, Nl, D)), jnp.bfloat16)
+        kb = jnp.asarray(rng.standard_normal((B, HKV, Nl, D)), jnp.bfloat16)
+        vb = jnp.asarray(rng.standard_normal((B, HKV, Nl, D)), jnp.bfloat16)
+        resl = _bwd_res(qb, kb, vb, seq_k)
+
+        def _bwd_only_l(g_, res=resl):
+            return _bwdp(res, g_, True, smr, 0, None, None, None)
+
+        reg(f"flashattn_bwd_causal_d128_seq{seq_k}k", _bwd_only_l, (qb,),
+            flops=int(10 * B * H * Nl * Nl * D * 0.5),
+            chain=lambda out, args: (_couple(out[0], out[1], out[2]),),
+            pair=(2, 6) if quick else (4, 12))
 
     D64 = 64
     q64 = jnp.asarray(rng.standard_normal((B, H, N, D64)), jnp.bfloat16)
@@ -434,8 +481,24 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "results.json"
     )
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(_merge_rows(out if args.only else None, results), f,
+                  indent=2)
     print(f"wrote {out}")
+
+
+def _merge_rows(existing_path, new_rows):
+    """Partial runs (--only) MERGE into the canonical file by rung name
+    instead of clobbering it — re-measured rungs update in place, the
+    rest keep their provenance."""
+    if not existing_path or not os.path.exists(existing_path):
+        return new_rows
+    try:
+        old = json.load(open(existing_path))
+    except (json.JSONDecodeError, OSError):
+        return new_rows
+    by_name = {r.get("name"): r for r in new_rows}
+    merged = [by_name.pop(r.get("name"), r) for r in old]
+    return merged + list(by_name.values())
 
 
 def run_isolated(args):
@@ -484,7 +547,10 @@ def run_isolated(args):
             # and losing the whole session to an outer timeout on the last
             # rung is the failure mode round 2 nearly hit
             with open(out, "w") as f:
-                json.dump(results, f, indent=2)
+                json.dump(
+                    _merge_rows(out if args.only else None, results), f,
+                    indent=2,
+                )
     print(f"wrote {out}")
 
 

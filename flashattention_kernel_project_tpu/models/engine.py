@@ -214,7 +214,8 @@ def prefill(
         )
 
     x = tfm.rms_norm(x, params["rms_final"])
-    logits = (x[:, -1] @ params["embed"].T).astype(jnp.float32)
+    logits = jnp.matmul(x[:, -1], params["embed"].T,
+                        preferred_element_type=jnp.float32)
     new_cache = KVCache(k_all, v_all, ks_all, vs_all, cache.lengths + t)
     return logits, new_cache
 
@@ -312,7 +313,8 @@ def extend(
         xe = x[:, -1]
     else:
         xe = x[jnp.arange(b), jnp.maximum(n, 1) - 1]
-    logits = (xe @ params["embed"].T).astype(jnp.float32)
+    logits = jnp.matmul(xe, params["embed"].T,
+                        preferred_element_type=jnp.float32)
     return logits, KVCache(k_all, v_all, ks_all, vs_all, new_lengths)
 
 
@@ -410,7 +412,12 @@ def _lm_head(params, x):
             preferred_element_type=jnp.float32,
         )
         return o * params["lm_head_s"][:, 0][None, :]
-    return (x @ params["embed"].T).astype(jnp.float32)
+    # f32 ACCUMULATE AND OUTPUT (no bf16 rounding of the logits): keeps
+    # greedy argmax identical between the decode and extend/verify paths
+    # — bf16-rounded logits flipped 28/192 near-tie argmaxes on chip
+    # (VERDICT r3 #5; benchmarks/bench_spec.py asserts identity again)
+    return jnp.matmul(x, params["embed"].T,
+                      preferred_element_type=jnp.float32)
 
 
 def _qkv(cfg, layer, h, b, t):
@@ -554,6 +561,51 @@ def decode_steps(
         logits, c = decode_step(
             cfg, params, cur, c,
             n_splits=n_splits, interpret=interpret, axis=axis,
+        )
+        nxt = _sample(logits, temperature, key, i, top_k, top_p)
+        return (nxt, c), nxt
+
+    (_, cache), toks = jax.lax.scan(
+        body, (tokens.astype(jnp.int32), cache),
+        step0 + jnp.arange(n_steps),
+    )
+    return toks.swapaxes(0, 1), cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=(
+        "n_steps", "interpret", "axis",
+        "temperature", "top_k", "top_p", "step0",
+    ),
+)
+def decode_steps_paged(
+    cfg: tfm.TransformerConfig,
+    params: dict,
+    tokens: jax.Array,
+    cache: PagedKVCache,
+    *,
+    n_steps: int,
+    interpret: bool | None = None,
+    axis: str | None = None,
+    temperature: float = 0.0,
+    key: jax.Array | None = None,
+    top_k: int | None = None,
+    top_p: float | None = None,
+    step0: int = 0,
+) -> tuple[jax.Array, PagedKVCache]:
+    """decode_steps against the PAGED cache: n_steps greedy/sampled steps
+    as one device-resident lax.scan (decode_step_paged + paged_append per
+    step inside the scan) — the paged backend gets the same
+    one-dispatch-per-window amortization as the linear one (VERDICT r4
+    task 7: Scheduler(paged=True, multi_step=N)). tokens [B] ->
+    ([B, n_steps], cache advanced n_steps)."""
+
+    def body(carry, i):
+        cur, c = carry
+        logits, c = decode_step_paged(
+            cfg, params, cur, c, interpret=interpret, axis=axis,
         )
         nxt = _sample(logits, temperature, key, i, top_k, top_p)
         return (nxt, c), nxt

@@ -290,9 +290,12 @@ class Scheduler:
         # at admission
         self.multi_step = multi_step
         if multi_step > 1:
-            if self.spec or paged or mesh is not None or self.sampling:
+            # paged x multi_step is supported (engine.decode_steps_paged,
+            # VERDICT r4 task 7); spec, TP-mesh and in-batch sampling
+            # remain walls for this mode
+            if self.spec or mesh is not None or self.sampling:
                 raise NotImplementedError(
-                    "multi_step: plain greedy linear backend only"
+                    "multi_step: greedy linear or paged backend only"
                 )
         self._reserve = spec_k + 1 if self.spec else (
             multi_step if multi_step > 1 else 0
@@ -552,7 +555,11 @@ class Scheduler:
         prefix pages), scatter the prefilled suffix into the new ones,
         install the block table, and register the request's own full
         prompt pages in the prefix index."""
-        n_total = -(-(t + req.max_new_tokens) // self._page)
+        # +_reserve: multi-token modes (spec verify, multi_step windows)
+        # append up to `reserve` rows PAST the budget before the host rolls
+        # back — those writes must land in this slot's own pages, not spill
+        # onto the junk page where the same round would read garbage back
+        n_total = -(-(t + req.max_new_tokens + self._reserve) // self._page)
         new_pages = self._pool.alloc(n_total - len(shared))
         for pid in shared:
             self._page_refs[pid] += 1
@@ -729,13 +736,19 @@ class Scheduler:
         speculative round)."""
         m = self.multi_step
         old_len = np.asarray(self.cache.lengths).copy()
-        toks, self.cache = with_retries(
-            functools.partial(
+        if self.paged:
+            step_fn = functools.partial(
+                engine.decode_steps_paged, self.cfg, self._decode_params,
+                jnp.asarray(self.cur_tokens), self.cache, n_steps=m,
+                interpret=self.interpret,
+            )
+        else:
+            step_fn = functools.partial(
                 engine.decode_steps, self.cfg, self._decode_params,
                 jnp.asarray(self.cur_tokens), self.cache, n_steps=m,
                 n_splits=self.n_splits, interpret=self.interpret,
             )
-        )
+        toks, self.cache = with_retries(step_fn)
         toks = np.asarray(toks)
         new_len = old_len.copy()
         for i, req in enumerate(self.slots):

@@ -267,7 +267,8 @@ def _forward_aux(cfg, params, tokens, *, interpret=None):
 
     x, aux = jax.lax.scan(body, x, params["layers"])
     x = rms_norm(x, params["rms_final"])
-    return (x @ params["embed"].T).astype(jnp.float32), jnp.mean(aux)
+    return jnp.matmul(x, params["embed"].T,
+                      preferred_element_type=jnp.float32), jnp.mean(aux)
 
 
 def loss_fn(cfg, params, tokens, *, interpret=None) -> jax.Array:

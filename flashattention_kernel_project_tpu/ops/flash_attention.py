@@ -1795,9 +1795,7 @@ _POS_BIG = float(1e30)  # lse pad for invalid rows: exp(s - POS_BIG) == 0
 
 def _bwd_dkdv_kernel(
     q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
-    dk_ref, dv_ref,
-    dk_scr, dv_scr,
-    *,
+    *rest,
     n_inner: int,
     n_q: int,
     causal: bool,
@@ -1808,7 +1806,22 @@ def _bwd_dkdv_kernel(
     window: int | None = None,
     sinks: int = 0,
     diag_subs: int = 1,
+    fuse_dq: bool = False,
 ):
+    # fuse_dq (VERDICT r4 task 2): the same program ALSO emits this
+    # (q block, kv block) pair's dq partial — ds @ k, sliced-stored
+    # straight into a [n_kv, ...] partials output (each q-row sub owns
+    # distinct rows, so no scratch accumulation; the wrapper sums over
+    # the kv axis). The two-kernel FA2 recompute EXECUTES 7 matmuls per
+    # pair for 5 useful (s and dp computed in both kernels) — a hard 5/7
+    # ceiling the fused form removes, at the cost of n_kv * |q| partial
+    # HBM traffic (profitable at seq <= 8K; docs/perf_journal.md r3).
+    if fuse_dq:
+        kt_ref, *rest = rest
+        dk_ref, dv_ref, dq_ref, dk_scr, dv_scr = rest
+    else:
+        dk_ref, dv_ref, dk_scr, dv_scr = rest
+        dq_ref = kt_ref = None
     kv_idx = pl.program_id(2)
     t = pl.program_id(3)
     q_idx = t % n_q
@@ -1889,6 +1902,20 @@ def _bwd_dkdv_kernel(
             preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
         )
+        if fuse_dq:
+            # this sub's dq rows: ds @ k, stored (not accumulated — each
+            # sub owns distinct rows of the partial). ds carries 1/log2e
+            # (see sm_scale note at the wrapper); the wrapper multiplies
+            # the summed partials by sm_scale * log2e.
+            # NT orientation against the PRE-TRANSPOSED kT tile: the
+            # natural ds @ k form contracts k's dim 0 ("NN"), which made
+            # Mosaic relayout the k tile per program — measured +0.5 ms
+            # on the 4K call (probe, round 4)
+            dq_ref[0, 0, 0, start : start + dsub] = jax.lax.dot_general(
+                ds, kt_ref[0, 0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_precision(q.dtype),
+            ).astype(dq_ref.dtype)
 
     def _compute_masked_subs():
         # sub-predicated masked path: q-row sub-ranges entirely above the
@@ -1925,6 +1952,12 @@ def _bwd_dkdv_kernel(
         if (causal and diag_subs > 1)
         else (lambda: _accum(0, block_q, True))
     )
+    if fuse_dq:
+        # every (j, t) partial block is summed by the wrapper — dead
+        # pairs and dead subs must read zero; live stores overwrite
+        dq_ref[0, 0, 0] = jnp.zeros(
+            dq_ref.shape[-2:], dq_ref.dtype
+        )
     if causal:
         pl.when(jnp.logical_and(live, crosses))(masked_fn)
         pl.when(jnp.logical_and(live, jnp.logical_not(crosses)))(
@@ -2117,7 +2150,7 @@ def _bwd_dq_kernel(
 
 def _bwd_pallas(
     res, g, causal, sm_scale, q_offset, block_q, block_k, interpret,
-    window=None, sinks=0,
+    window=None, sinks=0, fuse_dq=None,
 ):
     """FlashAttention-2 backward as two Pallas kernels. Returns (dq, dk, dv).
 
@@ -2166,7 +2199,17 @@ def _bwd_pallas(
     n_q, n_kv = np_ // block_q, sp // block_k
     n_inner = group * n_q
 
-    # ---- dk / dv ----------------------------------------------------------
+    # ---- dk / dv (+ fused dq partials at short seq) -----------------------
+    # fuse_dq: one kernel executes all 5 useful matmuls per (q, kv) pair
+    # (s, dv, dp, dk, dq) instead of 7 across two kernels — removes the
+    # 5/7 recompute ceiling (docs/perf_journal.md r3). dq partials cost
+    # n_kv * |q| extra HBM traffic (bf16), so the fused form is gated to
+    # n_kv <= 8 (seq <= 8K at bk 1024); longer sequences keep the
+    # two-kernel structure where the traffic would dominate (4 GB of
+    # partials at 32K).
+    if fuse_dq is None:
+        fuse_dq = n_kv <= 8
+
     def qmap(bb, h, j, t):
         return (bb, h * group + t // n_q, t % n_q, 0)
 
@@ -2186,30 +2229,50 @@ def _bwd_pallas(
         # q-row sub-predication on diagonal-crossing pairs (causal only):
         # 256-row subs, the bwd mirror of the fwd diag_subs sweep result
         diag_subs=max(block_q // 256, 1) if causal else 1,
+        fuse_dq=fuse_dq,
     )
-    dk, dv = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, 1, block_k, d), lambda bb, h, j, t: (bb, h, j, 0)),
+        pl.BlockSpec(
+            (1, 1, block_k, d_v), lambda bb, h, j, t: (bb, h, j, 0)
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, hkv, sp, d), k.dtype),
+        jax.ShapeDtypeStruct((b, hkv, sp, d_v), v.dtype),
+    ]
+    in_specs_bwd = [
+        pl.BlockSpec((1, 1, block_q, d), qmap),
+        pl.BlockSpec((1, 1, block_q, d_v), qmap),
+        pl.BlockSpec((1, 1, block_q, 1), qmap),
+        pl.BlockSpec((1, 1, block_q, 1), qmap),
+        pl.BlockSpec((1, 1, block_k, d), lambda bb, h, j, t: (bb, h, j, 0)),
+        pl.BlockSpec(
+            (1, 1, block_k, d_v), lambda bb, h, j, t: (bb, h, j, 0)
+        ),
+    ]
+    operands_bwd = [q_scaled, gf, lse4, delta, k, v]
+    if fuse_dq:
+        # kT [b, hkv, d, sp]: one XLA transpose of K per call so the dq
+        # dot runs NT against [d, block_k] tiles (see kernel note)
+        kT = jnp.swapaxes(k, -1, -2)
+        in_specs_bwd.append(pl.BlockSpec(
+            (1, 1, d, block_k), lambda bb, h, j, t: (bb, h, 0, j)
+        ))
+        operands_bwd.append(kT)
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 1, block_q, d),
+            lambda bb, h, j, t: (j, bb, h * group + t // n_q, t % n_q, 0),
+        ))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_kv, b, hq, np_, d), q.dtype)
+        )
+    dk, dv, *dq_parts = pl.pallas_call(
         dkdv_kernel,
         grid=(b, hkv, n_kv, n_inner),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), qmap),
-            pl.BlockSpec((1, 1, block_q, d_v), qmap),
-            pl.BlockSpec((1, 1, block_q, 1), qmap),
-            pl.BlockSpec((1, 1, block_q, 1), qmap),
-            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, j, t: (bb, h, j, 0)),
-            pl.BlockSpec(
-                (1, 1, block_k, d_v), lambda bb, h, j, t: (bb, h, j, 0)
-            ),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_k, d), lambda bb, h, j, t: (bb, h, j, 0)),
-            pl.BlockSpec(
-                (1, 1, block_k, d_v), lambda bb, h, j, t: (bb, h, j, 0)
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, hkv, sp, d), k.dtype),
-            jax.ShapeDtypeStruct((b, hkv, sp, d_v), v.dtype),
-        ],
+        in_specs=in_specs_bwd,
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d_v), jnp.float32),
@@ -2218,7 +2281,15 @@ def _bwd_pallas(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q_scaled, gf, lse4, delta, k, v)
+    )(*operands_bwd)
+    if fuse_dq:
+        # sum the per-kv-block partials; ds carried 1/log2e and q carried
+        # sm_scale*log2e, so exactly sm_scale*log2e is still owed on dq
+        dq = (
+            dq_parts[0].astype(jnp.float32).sum(axis=0)
+            * (sm_scale * _LOG2E)
+        ).astype(q.dtype)
+        return dq[:, :, :n], dk[:, :, :s_len], dv[:, :, :s_len]
 
     # ---- dq ---------------------------------------------------------------
     # GQA group stacking (fwd's winning move, r3): grid over KV heads with
@@ -2228,23 +2299,31 @@ def _bwd_pallas(
     # tile ([group*bq_dq, block_k]) stays within the 4 MB discipline.
     g_stack = group if group > 1 else 1
     bq_dq = block_q
-    while g_stack * bq_dq * block_k * 4 > (4 << 20) and bq_dq > 128:
+    bk_dq = block_k
+    while g_stack * bq_dq * bk_dq * 4 > (4 << 20) and bq_dq > 128:
         bq_dq //= 2
+    # mirror the forward VMEM discipline (advisor r3): once bq_dq bottoms
+    # out at 128 (group >= 16), keep halving the KV block — a 16-stacked
+    # [2048, 1024] f32 score tile is 8 MB, the size class the fwd path
+    # measured OOM
+    while g_stack * bq_dq * bk_dq * 4 > (4 << 20) and bk_dq > 256:
+        bk_dq //= 2
+    n_kv_dq = sp // bk_dq
     n_q_dq = np_ // bq_dq
     rows_dq = g_stack * bq_dq
     dq_kernel = functools.partial(
         _bwd_dq_kernel,
-        n_kv=n_kv,
+        n_kv=n_kv_dq,
         causal=causal,
         q_offset=q_offset,
         kv_len=s_len,
         sm_scale=sm_scale,
         block_q=bq_dq,
-        block_k=block_k,
+        block_k=bk_dq,
         window=window,
         sinks=sinks,
         g_stack=g_stack,
-        diag_subs=max(block_k // 512, 1) if causal else 1,
+        diag_subs=max(bk_dq // 512, 1) if causal else 1,
     )
     if g_stack > 1:
         q_in = q_scaled.reshape(b, hkv, group, np_, d)
@@ -2257,17 +2336,17 @@ def _bwd_pallas(
         in_specs = [
             stk(d), stk(d_v), stk(1), stk(1),
             pl.BlockSpec(
-                (1, 1, block_k, d), lambda bb, h, i, j: (bb, h, j, 0)
+                (1, 1, bk_dq, d), lambda bb, h, i, j: (bb, h, j, 0)
             ),
             pl.BlockSpec(
-                (1, 1, block_k, d_v), lambda bb, h, i, j: (bb, h, j, 0)
+                (1, 1, bk_dq, d_v), lambda bb, h, i, j: (bb, h, j, 0)
             ),
         ]
         out_specs = pl.BlockSpec(
             (1, 1, group, bq_dq, d), lambda bb, h, i, j: (bb, h, 0, i, 0)
         )
         out_shape = jax.ShapeDtypeStruct((b, hkv, group, np_, d), q.dtype)
-        grid = (b, hkv, n_q_dq, n_kv)
+        grid = (b, hkv, n_q_dq, n_kv_dq)
     else:
         q_in, gf_in, lse_in, delta_in = q_scaled, gf, lse4, delta
         in_specs = [
@@ -2278,17 +2357,17 @@ def _bwd_pallas(
             pl.BlockSpec((1, 1, bq_dq, 1), lambda bb, h, i, j: (bb, h, i, 0)),
             pl.BlockSpec((1, 1, bq_dq, 1), lambda bb, h, i, j: (bb, h, i, 0)),
             pl.BlockSpec(
-                (1, 1, block_k, d), lambda bb, h, i, j: (bb, h // group, j, 0)
+                (1, 1, bk_dq, d), lambda bb, h, i, j: (bb, h // group, j, 0)
             ),
             pl.BlockSpec(
-                (1, 1, block_k, d_v), lambda bb, h, i, j: (bb, h // group, j, 0)
+                (1, 1, bk_dq, d_v), lambda bb, h, i, j: (bb, h // group, j, 0)
             ),
         ]
         out_specs = pl.BlockSpec(
             (1, 1, bq_dq, d), lambda bb, h, i, j: (bb, h, i, 0)
         )
         out_shape = jax.ShapeDtypeStruct((b, hq, np_, d), q.dtype)
-        grid = (b, hq, n_q_dq, n_kv)
+        grid = (b, hq, n_q_dq, n_kv_dq)
     dq = pl.pallas_call(
         dq_kernel,
         grid=grid,

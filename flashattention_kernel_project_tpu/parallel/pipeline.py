@@ -95,7 +95,8 @@ def pp_loss_fn(
         # last stage: head + per-microbatch NLL, valid once the pipe is full
         out_idx = t - (n_stages - 1)
         h = tfm.rms_norm(y, params["rms_final"])
-        logits = (h @ params["embed"].T).astype(jnp.float32)
+        logits = jnp.matmul(h, params["embed"].T,
+                            preferred_element_type=jnp.float32)
         tgt = micro_tokens[jnp.clip(out_idx, 0, n_micro - 1)][:, 1:]
         logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
         nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]

@@ -102,7 +102,8 @@ def _tp_forward(cfg, params, tokens, *, model_axis, interpret=None,
         aux_total = aux_total + aux
 
     x = tfm.rms_norm(x, params["rms_final"])
-    logits = (x @ params["embed"].T).astype(jnp.float32)
+    logits = jnp.matmul(x, params["embed"].T,
+                        preferred_element_type=jnp.float32)
     return logits, aux_total / n_layers
 
 
@@ -227,7 +228,8 @@ def _cp_forward(cfg, params, tokens, *, ring, n_ring, seq_axis, interpret=None):
             x = tfm._mlp_block(layer, x, cfg)
 
     x = tfm.rms_norm(x, params["rms_final"])
-    logits = (x @ params["embed"].T).astype(jnp.float32)
+    logits = jnp.matmul(x, params["embed"].T,
+                        preferred_element_type=jnp.float32)
     return logits, tok, aux_total / n_layers
 
 

@@ -32,6 +32,18 @@ def is_transient_error(err: BaseException) -> bool:
     return any(marker.lower() in msg.lower() for marker in _TRANSIENT_MARKERS)
 
 
+# a retry re-invoking a DONATED-argument program can find its input buffers
+# already consumed by the failed attempt — that state is unrecoverable from
+# inside the retry loop (the caller must rebuild the state, e.g. re-prefill
+# a KV cache); classify it so the failure is explicit, not a crash loop
+_DELETED_MARKERS = ("has been deleted", "buffer was donated")
+
+
+def is_deleted_buffer_error(err: BaseException) -> bool:
+    msg = str(err)
+    return any(marker.lower() in msg.lower() for marker in _DELETED_MARKERS)
+
+
 def device_healthcheck(timeout_s: float = 30.0) -> dict:
     """Cheap liveness probe: a tiny matmul, forced to completion.
 
@@ -87,14 +99,29 @@ def with_retries(
 ) -> Any:
     """Run `fn`, retrying transient runtime faults (worker restarts) with a
     cooldown; fatal errors (shape errors, OOM, kernel bugs) raise
-    immediately — fail fast, like the reference's CHECK_CUDA."""
+    immediately — fail fast, like the reference's CHECK_CUDA.
+
+    Donation-aware (advisor r3): if a RETRY attempt fails because an input
+    buffer was already deleted (donated to the failed attempt — e.g. the
+    paged cache in engine.extend_paged), that is NOT retryable: the state
+    must be rebuilt by the caller. It raises a classified RuntimeError
+    chained to the original transient fault instead of looping on a
+    confusing 'Array has been deleted'."""
     attempt = 0
+    first_err: BaseException | None = None
     while True:
         try:
             return fn(*args, **kwargs)
         except Exception as e:  # noqa: BLE001 - classified below
+            if attempt > 0 and is_deleted_buffer_error(e):
+                raise RuntimeError(
+                    "retry found its input buffers deleted (donated to the "
+                    "failed attempt); state must be rebuilt by the caller "
+                    f"— original fault: {first_err!r}"
+                ) from e
             if not is_transient_error(e) or attempt >= max_retries:
                 raise
+            first_err = first_err or e
             attempt += 1
             if on_retry is not None:
                 on_retry(attempt, e)

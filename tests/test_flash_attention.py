@@ -426,6 +426,31 @@ def test_flash_backward_vs_float64(rng, causal):
         assert_rel_l2(np.asarray(got, np.float64), want, tol=5e-4)
 
 
+def test_flash_backward_fused_matches_two_kernel(rng):
+    """The fused dkdv+dq kernel (dq partials summed over kv blocks,
+    VERDICT r4 task 2) must match the two-kernel structure on the same
+    residuals — same math, different schedule (bf16 partials introduce
+    one extra rounding, hence the small tolerance)."""
+    from flashattention_kernel_project_tpu.ops.flash_attention import (
+        _bwd_pallas,
+        _fwd,
+    )
+
+    b, hq, hkv, n, s, d = 1, 4, 2, 96, 1280, 32
+    q, k, v = _rand_qkv(rng, b, hq, hkv, n, s, d)
+    g = rng.standard_normal((b, hq, n, d), dtype=np.float32)
+    qj, kj, vj = map(jnp.asarray, (q, k, v))
+    gj = jnp.asarray(g).astype(qj.dtype)
+    sm = 1.0 / np.sqrt(d)
+    out, lse = _fwd(qj, kj, vj, True, None, 0, 32, 128, True)
+    res = (qj, kj, vj, out, lse)
+    fused = _bwd_pallas(res, gj, True, sm, 0, 32, 128, True, fuse_dq=True)
+    twok = _bwd_pallas(res, gj, True, sm, 0, 32, 128, True, fuse_dq=False)
+    for a, b_ in zip(fused, twok):
+        assert_rel_l2(np.asarray(a, np.float32), np.asarray(b_, np.float32),
+                      tol=5e-3)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_flash_gradients(rng, causal):
     """Gradients vs autodiff through the naive attention expression."""

@@ -518,6 +518,32 @@ def test_scheduler_streaming_callbacks():
     assert run(draft_cfg=CFG, draft_params=params, spec_k=3) == plain
 
 
+def test_scheduler_multi_step_paged_matches_plain():
+    """multi_step x paged (VERDICT r4 task 7): device-resident decode
+    windows over the page pool must produce the plain paged scheduler's
+    tokens exactly, including page allocation for the window's overshoot
+    rows past a request's budget."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(13)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (6, 9, 4)
+    ]
+    # page_size 8 with budget 7 + multi_step 3: the window overshoots a
+    # page boundary, exercising the +reserve page allocation
+    ms = Scheduler(CFG, params, max_batch=2, max_len=64, paged=True,
+                   page_size=8, multi_step=3)
+    uids = [ms.submit(p, max_new_tokens=7) for p in prompts]
+    out = ms.run()
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64, paged=True,
+                    page_size=8)
+    ruids = [ref.submit(p, max_new_tokens=7) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
+
+
 def test_scheduler_fuzz_schedules():
     """Randomized serving stress: random prompt lengths/budgets across the
     backend matrix (linear/paged x chunked x multi_step) must all produce
@@ -539,6 +565,7 @@ def test_scheduler_fuzz_schedules():
         dict(paged=True, page_size=8),
         dict(paged=True, page_size=8, prefix_cache=True, prefill_chunk=6),
         dict(multi_step=4),
+        dict(paged=True, page_size=8, multi_step=4),
     ):
         sched = Scheduler(CFG, params, max_batch=3, max_len=64, **kw)
         uids = [
