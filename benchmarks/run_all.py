@@ -111,6 +111,20 @@ def build_benches(quick: bool, long: bool = False):
         ),
         (a_sm, b_sm, bias_sm), flops=2 * bs * ms**3,
         chain=lambda out, args: (args[0], out.swapaxes(1, 2), args[2]))
+    # config-3 probe split (VERDICT r4 task 6): (a) plain batched matmul
+    # at the same shape — the epilogue-free cost of the SAME problem
+    # (its own block shapes, not the fused kernel's N-wide-row constraint);
+    # (b) the fusion-win baseline — batched matmul + XLA row softmax
+    import jax as _jx
+
+    reg("gemm_batched_softmax_unfused_baseline",
+        lambda a, b_, bias: _jx.nn.softmax(
+            ops.batched_matmul(a, b_, out_dtype=jnp.float32) * 0.125
+            + bias[None, None, :],
+            axis=-1,
+        ).astype(jnp.bfloat16),
+        (a_sm, b_sm, bias_sm), flops=2 * bs * ms**3,
+        chain=lambda out, args: (args[0], out.swapaxes(1, 2), args[2]))
 
     # --- softmax (reference section 2.2) -----------------------------------
     rows, cols = 8192, 4096
@@ -126,6 +140,13 @@ def build_benches(quick: bool, long: bool = False):
     xr = jnp.asarray(rng.standard_normal((rows_r, cols_r)), dtype=jnp.float32)
     reg("softmax_4096x512_refcfg", ops.softmax, (xr,),
         bytes_accessed=2 * rows_r * cols_r * 4, flops=5 * rows_r * cols_r)
+    # copy-only 50%-write stream at the softmax shape (VERDICT r4 task 4b):
+    # measures whether the softmax rung's ~323 GB/s wall is the machine's
+    # balanced-stream plateau or the kernel's
+    from flashattention_kernel_project_tpu.ops import probes as _probes
+
+    reg("probe_stream_copy_8192x4096_f32", _probes.stream_copy_probe, (x,),
+        bytes_accessed=2 * rows * cols * 4, flops=rows * cols)
 
     # --- fused attention (sections 2.3-2.5) --------------------------------
     B, H, HKV, N, D = 1, 16, 4, 4096, 128
@@ -185,6 +206,15 @@ def build_benches(quick: bool, long: bool = False):
                 functools.partial(ops.flash_attention, causal=True,
                                   stable=False, window=W),
                 (ql, kl, vl), flops=4 * B * H * pairs * D)
+            # + StreamingLLM sinks: useful pairs add the sink columns
+            # visible below the band (the narrow sink-step instantiation,
+            # VERDICT r4 task 9)
+            SK = 64
+            pairs_s = pairs + SK * (Nl - W)
+            reg("flashattn_fwd_causal_d128_seq32k_win4k_sinks64_fast",
+                functools.partial(ops.flash_attention, causal=True,
+                                  stable=False, window=W, sinks=SK),
+                (ql, kl, vl), flops=4 * B * H * pairs_s * D)
     # Backward pass. ROUND-4 CORRECTION: the r1-r3 rung's chain consumed
     # only dq, so XLA dead-code-eliminated the dkdv kernel inside the
     # timed loop — the recorded 111-124 TF "bwd" numbers measured
@@ -215,14 +245,27 @@ def build_benches(quick: bool, long: bool = False):
 
     # bwd-only rung: the VJP given saved residuals — 5 matmul units
     # (s + dp recompute, dv, dk, dq), all executed AND all useful in the
-    # fused kernel (no 5/7 recompute waste; VERDICT r4 task 2)
+    # fused kernel (no 5/7 recompute waste; VERDICT r4 task 2).
+    # Residuals are CLOSURE captures (program constants) up to 16K:
+    # passing them as chained args costs ~11% of pass-through carry
+    # copies in the timing loop (4K measured 119.4 TF captured vs 107.9
+    # as args — same kernel). At 32K the captured constants blow the
+    # remote-compile request size (HTTP 413), so only that rung pays the
+    # args form, noted in the journal.
     res4 = _bwd_res(q, k, v, 4)
     smr = 1.0 / float(np.sqrt(D))
 
-    def _bwd_only(g_, res=res4):
+    def _bwd_only(g_, q_, k_, v_, o_, l_):
+        return _bwdp((q_, k_, v_, o_, l_), g_, True, smr, 0, None, None,
+                     None)
+
+    def _bwd_chain(out, args):
+        return (_couple(out[0], out[1], out[2]),) + tuple(args[1:])
+
+    def _bwd_only_cap(g_, res=res4):
         return _bwdp(res, g_, True, smr, 0, None, None, None)
 
-    reg("flashattn_bwd_causal_d128_seq4k", _bwd_only, (q,),
+    reg("flashattn_bwd_causal_d128_seq4k", _bwd_only_cap, (q,),
         flops=int(10 * B * H * N * N * D * 0.5),
         chain=lambda out, args: (_couple(out[0], out[1], out[2]),))
     # grad rung (training step shape): fwd + bwd in one call; useful = 7
@@ -239,14 +282,22 @@ def build_benches(quick: bool, long: bool = False):
         kb = jnp.asarray(rng.standard_normal((B, HKV, Nl, D)), jnp.bfloat16)
         vb = jnp.asarray(rng.standard_normal((B, HKV, Nl, D)), jnp.bfloat16)
         resl = _bwd_res(qb, kb, vb, seq_k)
+        if seq_k <= 16:
+            def _bwd_l(g_, res=resl):
+                return _bwdp(res, g_, True, smr, 0, None, None, None)
 
-        def _bwd_only_l(g_, res=resl):
-            return _bwdp(res, g_, True, smr, 0, None, None, None)
-
-        reg(f"flashattn_bwd_causal_d128_seq{seq_k}k", _bwd_only_l, (qb,),
-            flops=int(10 * B * H * Nl * Nl * D * 0.5),
-            chain=lambda out, args: (_couple(out[0], out[1], out[2]),),
-            pair=(2, 6) if quick else (4, 12))
+            reg(f"flashattn_bwd_causal_d128_seq{seq_k}k", _bwd_l, (qb,),
+                flops=int(10 * B * H * Nl * Nl * D * 0.5),
+                chain=lambda out, args: (
+                    _couple(out[0], out[1], out[2]),
+                ),
+                pair=(2, 6) if quick else (4, 12))
+        else:
+            reg(f"flashattn_bwd_causal_d128_seq{seq_k}k", _bwd_only,
+                (qb,) + resl,
+                flops=int(10 * B * H * Nl * Nl * D * 0.5),
+                chain=_bwd_chain,
+                pair=(2, 6) if quick else (4, 12))
 
     D64 = 64
     q64 = jnp.asarray(rng.standard_normal((B, H, N, D64)), jnp.bfloat16)
@@ -261,6 +312,21 @@ def build_benches(quick: bool, long: bool = False):
     reg("flashattn_fwd_causal_d64_seq4k_fast",
         functools.partial(ops.flash_attention, causal=True, stable=False),
         (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5))
+    # d64 unconditionally-correct hybrid (VERDICT r4 task 8): routes
+    # through the UNPACKED hybrid kernel — r3 measured head pairing worth
+    # ~1% over unpacked fast at d64, so auto forgoes it
+    reg("flashattn_fwd_causal_d64_seq4k_auto",
+        functools.partial(ops.flash_attention, causal=True, stable="auto"),
+        (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5))
+    # d64 pure-MXU probes (VERDICT r4 task 4a): validate the claimed 0.50x
+    # structural MXU ceiling at d=64 by measuring the bare QK/PV dots at
+    # this head dim (the d128 versions measured 0.82x+ in r2)
+    reg("probe_qk_d64_seq4k", _probes.qk_probe, (q64, k64, v64),
+        flops=int(2 * B * H * N * N * D64),
+        chain=lambda out, args: (out.astype(jnp.bfloat16), args[1], args[2]))
+    reg("probe_pv_d64_seq4k", _probes.pv_probe, (q64, k64, v64),
+        flops=int(2 * B * H * N * N * D64),
+        chain=lambda out, args: (out.astype(jnp.bfloat16), args[1], args[2]))
 
     # KV-quantized prefill (fused in-kernel dequant): 4K point, plus the
     # BASELINE config-5 shape (GQA 32/8 heads, d=128, seq 32K, INT8 KV)

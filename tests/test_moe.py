@@ -184,3 +184,49 @@ def test_moe_transformer_dp_tp_mesh_close(rng):
     _, loss_tp = step(sharded, tokens)
     _, loss_single = models.sgd_train_step(MOE_TFM_CFG, params, tokens, lr=1e-2)
     np.testing.assert_allclose(float(loss_tp), float(loss_single), rtol=5e-3)
+
+
+def test_moe_sort_dispatch_matches_dense(rng, params):
+    """Sort-based ragged dispatch (VERDICT r4 task 10) must equal the
+    dense one-hot dispatch (same routing and drops) on the same inputs — including
+    capacity drops (tight capacity_factor forces them)."""
+    tight = models.MoEConfig(d_model=32, d_ff=64, num_experts=8, top_k=2,
+                             capacity_factor=0.5)
+    for cfg in (CFG, tight):
+        x = jnp.asarray(
+            rng.standard_normal((2, 40, cfg.d_model)), jnp.float32
+        )
+        dense = models.moe_ffn(params, x, cfg, dispatch="dense")
+        srt = models.moe_ffn(params, x, cfg, dispatch="sort")
+        # identical routing/drops; f32 sum order differs (einsum vs
+        # gather-sum), so equality is to f32 rounding
+        np.testing.assert_allclose(
+            np.asarray(dense), np.asarray(srt), rtol=2e-6, atol=2e-6
+        )
+
+
+def test_ep_moe_sort_dispatch_matches_dense(rng, params):
+    """EP sort dispatch over the 8-device mesh == dense EP == single
+    device."""
+    mesh = parallel.make_mesh({"expert": 8})
+    x = jnp.asarray(rng.standard_normal((2, 40, CFG.d_model)), jnp.float32)
+    dense = models.moe_ffn(params, x, CFG, dispatch="dense")
+    ep_sort = models.make_ep_moe(mesh, CFG, dispatch="sort")(params, x)
+    np.testing.assert_allclose(
+        np.asarray(dense), np.asarray(ep_sort), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_moe_sort_dispatch_grads_finite(rng, params):
+    """Training path through the sort dispatch (gathers + argsorts) must
+    differentiate; grads stay finite."""
+    x = jnp.asarray(rng.standard_normal((2, 24, CFG.d_model)), jnp.float32)
+
+    def loss(p, x):
+        o, aux = models.moe_ffn(p, x, CFG, return_aux=True,
+                                dispatch="sort")
+        return (o ** 2).sum() + 0.01 * aux
+
+    g = jax.grad(loss)(params, x)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -378,3 +378,22 @@ def test_engine_extend_paged_matches_linear_extend(rng):
     np.testing.assert_allclose(
         np.asarray(d1), np.asarray(d2), rtol=3e-4, atol=3e-4
     )
+
+
+@pytest.mark.parametrize("slots", [3, 4])
+def test_paged_gather_slot_rotation_matches(rng, slots):
+    """The n_slots-deep gather rotation (VERDICT r4 task 3a) must produce
+    the 2-slot ping-pong's answer exactly — bf16 and int8 pools, ragged
+    lengths (dead splits exercise the issue/wait pairing)."""
+    b, hq, hkv, d, page, npages, maxp = 2, 8, 2, 64, 32, 24, 8
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((npages, hkv, page, d)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((npages, hkv, page, d)), jnp.float32)
+    tbl = jnp.asarray(
+        rng.permutation(np.arange(1, 1 + b * maxp)).reshape(b, maxp) % npages,
+        jnp.int32,
+    )
+    lens = jnp.asarray([200, 64], jnp.int32)
+    base = ops.paged_flash_decode(q, kp, vp, tbl, lens, slots=2)
+    rot = ops.paged_flash_decode(q, kp, vp, tbl, lens, slots=slots)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(rot))
