@@ -118,9 +118,12 @@ def build_benches(quick: bool, long: bool = False):
     import jax as _jx
 
     reg("gemm_batched_softmax_unfused_baseline",
+        # scores round-trip HBM as bf16 (the f32 round trip OOMs the
+        # batched kernel's VMEM at 2048-wide blocks); softmax itself
+        # computes in f32 — a fair perf baseline for the fusion win
         lambda a, b_, bias: _jx.nn.softmax(
-            ops.batched_matmul(a, b_, out_dtype=jnp.float32) * 0.125
-            + bias[None, None, :],
+            ops.batched_matmul(a, b_, out_dtype=jnp.bfloat16)
+            .astype(jnp.float32) * 0.125 + bias[None, None, :],
             axis=-1,
         ).astype(jnp.bfloat16),
         (a_sm, b_sm, bias_sm), flops=2 * bs * ms**3,

@@ -381,7 +381,7 @@ def batched_matmul_softmax_epilogue(
     *,
     scale: float = 1.0,
     block_m: int = 512,
-    block_k: int = 512,
+    block_k: int = 256,
     out_dtype=jnp.float32,
     interpret: bool | None = None,
 ) -> jax.Array:
@@ -406,11 +406,15 @@ def batched_matmul_softmax_epilogue(
     assert k == k2 and bias.shape == (n,), (a.shape, b.shape, bias.shape)
     block_m = min(block_m, m)
     block_k = min(block_k, k)
-    # scoped-VMEM clamp (measured: 17.3 MB OOM on-chip at block_m=512,
-    # N=2048): the fp32 row accumulator + its exp copy + double-buffered
-    # bf16 out (~3*bm*N*4 B) plus the double-buffered b stream (bk*N*4 B)
-    # must fit the 16 MB scoped budget
-    while block_m > 128 and (3 * block_m * n + block_k * n) * 4 > (11 << 20):
+    # scoped-VMEM clamp (r4 recalibration: the exp copy now lives at
+    # out_dtype — see the kernel's log2-domain epilogue — so the budget
+    # is acc f32 + e + 2x out buffers + the double-buffered b stream;
+    # the r2-era formula assumed an f32 e and over-clamped block_m to
+    # 256, which cost ~4% vs 512 at N=2048)
+    esz = jnp.dtype(out_dtype).itemsize
+    while block_m > 128 and (
+        block_m * n * (4 + 3 * esz) + block_k * n * 4
+    ) > (14 << 20):
         block_m //= 2
     a = _pad_to(a, (block_m, block_k))
     b = _pad_to(b, (block_k, 128))
