@@ -340,6 +340,13 @@ def build_benches(quick: bool, long: bool = False):
                           stable=False),
         (q, kq4, ks4, vq4, vs4), flops=int(4 * B * H * N * N * D * 0.5),
         chain=lambda out, args: (out,) + tuple(args[1:]))
+    # the quant path's caveat-free hybrid (the bound covers the
+    # DEQUANTIZED keys via the per-token scales — see _fwd's kmax)
+    reg("flashattn_fwd_causal_d128_seq4k_kvq_int8_auto",
+        functools.partial(ops.flash_attention_kv_quant, causal=True,
+                          stable="auto"),
+        (q, kq4, ks4, vq4, vs4), flops=int(4 * B * H * N * N * D * 0.5),
+        chain=lambda out, args: (out,) + tuple(args[1:]))
     if long:
         H5, HKV5, N5 = 32, 8, 32768
         q5 = jnp.asarray(rng.standard_normal((1, H5, N5, D)), jnp.bfloat16)

@@ -1050,9 +1050,13 @@ def _fwd(
         # MXU: XLA's vectorized minor-dim reduce measured 12 us over q at
         # 4K vs ~7 us for an 8-wide ones-matrix contraction (f32
         # accumulation; benchmarks/probe_auto_gap.py round 4). Squares stay
-        # in the storage dtype — the <=1% norm error is irrelevant against
-        # the 78-vs-110 threshold margin (and bf16 square overflow -> inf
-        # bound -> the stable branch, conservative).
+        # in the storage dtype for FLOAT inputs — the <=1% norm error is
+        # irrelevant against the 78-vs-110 threshold margin, and bf16
+        # square overflow -> inf bound -> the stable branch (conservative).
+        # 8-bit inputs (int8 KV cache, fp8) must widen first: int8 squares
+        # WRAP (127^2 mod 256) and a wrapped bound is UNSOUND.
+        if x.dtype.itemsize == 1:
+            x = x.astype(jnp.float32)
         ones8 = jnp.ones((x.shape[-1], 8), x.dtype)
         return jax.lax.dot_general(
             x * x, ones8, (((x.ndim - 1,), (0,)), ((), ())),

@@ -27,3 +27,21 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# Plain `pytest tests/` runs ~246 interpret-mode Pallas compilations in one
+# process; around test ~215 XLA's CPU compiler segfaults under the
+# accumulated compilation-cache footprint (same test passes in isolation;
+# tests/runner.py runs per-file subprocesses as the hard fix). Releasing
+# the jit/pallas caches every N tests keeps the single-process suite under
+# the crash threshold at the cost of some recompiles.
+_TEST_COUNT = 0
+
+
+@pytest.fixture(autouse=True)
+def _periodic_jax_cache_clear():
+    yield
+    global _TEST_COUNT
+    _TEST_COUNT += 1
+    if _TEST_COUNT % 40 == 0:
+        jax.clear_caches()

@@ -234,6 +234,25 @@ def test_flash_forward_guard_count_exact(rng):
     assert int(np.asarray(bad)) == 1, np.asarray(bad)
 
 
+def test_flash_forward_auto_kv_quant_breach(rng):
+    """auto x int8 KV on RANGE-BREACHING inputs: the k half of the bound
+    must cover the DEQUANTIZED keys without int8 square wraparound
+    (127^2 mod 256 would certify fast on exactly the inputs that
+    overflow it — round 4 soundness fix). Scaled-up q forces the breach;
+    auto must match the stable quant kernel."""
+    q, k, v = _rand_qkv(rng, 1, 2, 2, 128, 256, 64)
+    q = q * 60.0
+    kq, ks, vq, vs = ops.quantize_kv(jnp.asarray(k), jnp.asarray(v))
+    safe = np.asarray(ops.flash_attention_kv_quant(
+        jnp.asarray(q), kq, ks, vq, vs, causal=True, stable=True,
+    ), np.float32)
+    auto = np.asarray(ops.flash_attention_kv_quant(
+        jnp.asarray(q), kq, ks, vq, vs, causal=True, stable="auto",
+    ), np.float32)
+    assert np.isfinite(auto).all()
+    assert_rel_l2(auto, safe, tol=1e-6)
+
+
 def test_flash_forward_auto_kv_quant(rng):
     """auto through the int8 KV-cache kernel (guard + quant refs coexist)."""
     q, k, v = _rand_qkv(rng, 1, 4, 2, 128, 256, 64)
