@@ -556,9 +556,13 @@ def main():
     out = args.out or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"
     )
+    # merge BEFORE opening for write: open(out, "w") truncates, and an
+    # argument-position _merge_rows(out, ...) would read the already-empty
+    # file (this exact bug silently clobbered the canonical table to a
+    # single row mid-round-4 — recovered from the per-commit snapshots)
+    merged = _merge_rows(out if args.only else None, results)
     with open(out, "w") as f:
-        json.dump(_merge_rows(out if args.only else None, results), f,
-                  indent=2)
+        json.dump(merged, f, indent=2)
     print(f"wrote {out}")
 
 
@@ -622,11 +626,9 @@ def run_isolated(args):
             # write INCREMENTALLY: a rung costs minutes of remote compile,
             # and losing the whole session to an outer timeout on the last
             # rung is the failure mode round 2 nearly hit
+            merged = _merge_rows(out if args.only else None, results)
             with open(out, "w") as f:
-                json.dump(
-                    _merge_rows(out if args.only else None, results), f,
-                    indent=2,
-                )
+                json.dump(merged, f, indent=2)
     print(f"wrote {out}")
 
 
