@@ -1925,9 +1925,11 @@ def _bwd_dkdv_kernel(
         dq_ref = kt_ref = None
     kv_idx = pl.program_id(2)
     t = pl.program_id(3)
+    is_first = t == 0
+    is_emit = t == n_inner - 1
     q_idx = t % n_q
 
-    @pl.when(t == 0)
+    @pl.when(is_first)
     def _init():
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
@@ -1954,15 +1956,15 @@ def _bwd_dkdv_kernel(
         live = True
         crosses = False
 
-    def _accum(start, dsub, masked):
-        # one q-ROW sub-range [start, start+dsub) of this (q, kv) block
-        # pair; dk/dv are additive so sub order is free
-        q = q_ref[0, 0, start : start + dsub]   # (sm_scale pre-folded)
-        do = do_ref[0, 0, start : start + dsub]
-        lse = lse_ref[0, 0, start : start + dsub]
-        delta = delta_ref[0, 0, start : start + dsub]
-        k = k_ref[0, 0]       # [block_k, d]
-        v = v_ref[0, 0]       # [block_k, d_v]
+    def _accum(rstart, rsub, cstart, csub, masked, dq_accum=False):
+        # one (q-row sub x kv-col sub) tile of this (q, kv) block pair;
+        # dk/dv/dq are additive so sub order is free
+        q = q_ref[0, 0, rstart : rstart + rsub]   # (sm_scale pre-folded)
+        do = do_ref[0, 0, rstart : rstart + rsub]
+        lse = lse_ref[0, 0, rstart : rstart + rsub]
+        delta = delta_ref[0, 0, rstart : rstart + rsub]
+        k = k_ref[0, 0, cstart : cstart + csub]   # [csub, d]
+        v = v_ref[0, 0, cstart : cstart + csub]   # [csub, d_v]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -1970,12 +1972,12 @@ def _bwd_dkdv_kernel(
             precision=_precision(q.dtype),
         )
         if masked:
-            col = kv_idx * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (dsub, block_k), 1
+            col = kv_idx * block_k + cstart + jax.lax.broadcasted_iota(
+                jnp.int32, (rsub, csub), 1
             )
             row = (
-                q_idx * block_q + start + q_offset
-                + jax.lax.broadcasted_iota(jnp.int32, (dsub, block_k), 0)
+                q_idx * block_q + rstart + q_offset
+                + jax.lax.broadcasted_iota(jnp.int32, (rsub, csub), 0)
             )
             cm = col <= row
             if window is not None:
@@ -1987,7 +1989,9 @@ def _bwd_dkdv_kernel(
         # p = exp2(s - lse), both in the log2 domain (wrapper folds log2e);
         # padded q rows carry lse = +1e30 -> p = 0
         p = jnp.exp2((s - lse).astype(v.dtype))
-        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+        dv_scr[cstart : cstart + csub] = dv_scr[
+            cstart : cstart + csub
+        ] + jax.lax.dot_general(
             p, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(v.dtype),
@@ -1998,60 +2002,79 @@ def _bwd_dkdv_kernel(
             precision=_precision(v.dtype),
         )
         ds = (p.astype(jnp.float32) * (dp - delta) * sm_scale).astype(q.dtype)
-        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+        dk_scr[cstart : cstart + csub] = dk_scr[
+            cstart : cstart + csub
+        ] + jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
         )
         if fuse_dq:
-            # this sub's dq rows: ds @ k, stored (not accumulated — each
-            # sub owns distinct rows of the partial). ds carries 1/log2e
-            # (see sm_scale note at the wrapper); the wrapper multiplies
-            # the summed partials by sm_scale * log2e.
+            # this tile's dq rows: ds @ k. ds carries 1/log2e (see the
+            # sm_scale note at the wrapper); the wrapper multiplies the
+            # summed partials by sm_scale * log2e.
             # NT orientation against the PRE-TRANSPOSED kT tile: the
             # natural ds @ k form contracts k's dim 0 ("NN"), which made
             # Mosaic relayout the k tile per program — measured +0.5 ms
-            # on the 4K call (probe, round 4)
-            dq_ref[0, 0, 0, start : start + dsub] = jax.lax.dot_general(
-                ds, kt_ref[0, 0], (((1,), (1,)), ((), ())),
+            # on the 4K call (probe, round 4). Masked 2-D subs ACCUMULATE
+            # (several column subs feed the same rows, initialized by the
+            # program-start zero-store); unmasked whole tiles store.
+            dqv = jax.lax.dot_general(
+                ds, kt_ref[0, 0, :, cstart : cstart + csub],
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=_precision(q.dtype),
             ).astype(dq_ref.dtype)
+            if dq_accum:
+                dq_ref[0, 0, 0, rstart : rstart + rsub] = (
+                    dq_ref[0, 0, 0, rstart : rstart + rsub] + dqv
+                )
+            else:
+                dq_ref[0, 0, 0, rstart : rstart + rsub] = dqv
 
     def _compute_masked_subs():
-        # sub-predicated masked path: q-row sub-ranges entirely above the
-        # diagonal (or entirely past the window band) of this kv block
-        # skip their four dots — the bwd mirror of the fwd's
-        # _compute_masked_fast diagonal-waste fix
+        # 2-D sub-predicated masked path (round 4): the diagonal pair of a
+        # square (block_q == block_k) tiling is HALF dead, and no full
+        # q-row sub or kv-col sub of it is ever fully dead — only
+        # (row sub x col sub) TILES strictly above the diagonal are. At
+        # 4K/d128 the 16 diagonal pairs were ~25% of the executed MXU
+        # work; skipping their dead tiles is what the row-only subs
+        # (r3) could not do. Non-causal bwd measured 0.890x of roofline
+        # vs causal 0.606x before this — the gap was diagonal dead work,
+        # not the VPU chain (probe, docs/perf_journal.md r4).
         dsub = block_q // diag_subs
-        col_first = kv_idx * block_k
-        col_last = col_first + (block_k - 1)
+        csub_n = max(block_k // 512, 1) if causal else 1
+        cw = block_k // csub_n
         for i in range(diag_subs):
-            start = i * dsub
-            row_first = q_idx * block_q + start + q_offset
+            rstart = i * dsub
+            row_first = q_idx * block_q + rstart + q_offset
             row_last = row_first + (dsub - 1)
-            sub_live = jnp.asarray(row_last >= col_first)
-            if window is not None:
-                dead_past = jnp.asarray(
-                    row_first > col_last + (window - 1)
-                )
-                if sinks:
-                    dead_past = jnp.logical_and(
-                        dead_past, jnp.asarray(col_first >= sinks)
+            for c in range(csub_n):
+                cstart = c * cw
+                col_first = kv_idx * block_k + cstart
+                col_last = col_first + (cw - 1)
+                sub_live = jnp.asarray(row_last >= col_first)
+                if window is not None:
+                    dead_past = jnp.asarray(
+                        row_first > col_last + (window - 1)
                     )
-                sub_live = jnp.logical_and(
-                    sub_live, jnp.logical_not(dead_past)
-                )
+                    if sinks:
+                        dead_past = jnp.logical_and(
+                            dead_past, jnp.asarray(col_first >= sinks)
+                        )
+                    sub_live = jnp.logical_and(
+                        sub_live, jnp.logical_not(dead_past)
+                    )
 
-            def _sub(start=start):
-                _accum(start, dsub, True)
+                def _sub(rstart=rstart, cstart=cstart):
+                    _accum(rstart, dsub, cstart, cw, True, dq_accum=True)
 
-            pl.when(sub_live)(_sub)
+                pl.when(sub_live)(_sub)
 
     masked_fn = (
         _compute_masked_subs
         if (causal and diag_subs > 1)
-        else (lambda: _accum(0, block_q, True))
+        else (lambda: _accum(0, block_q, 0, block_k, True, dq_accum=True))
     )
     if fuse_dq:
         # every (j, t) partial block is summed by the wrapper — dead
@@ -2062,12 +2085,12 @@ def _bwd_dkdv_kernel(
     if causal:
         pl.when(jnp.logical_and(live, crosses))(masked_fn)
         pl.when(jnp.logical_and(live, jnp.logical_not(crosses)))(
-            lambda: _accum(0, block_q, False)
+            lambda: _accum(0, block_q, 0, block_k, False)
         )
     else:
-        _accum(0, block_q, False)
+        _accum(0, block_q, 0, block_k, False)
 
-    @pl.when(t == n_inner - 1)
+    @pl.when(is_emit)
     def _emit():
         # q arrives sm_scale-pre-folded (q_scaled = scale*q) and this kernel
         # runs with sm_scale=1: ds is w.r.t. the scaled scores, and
@@ -2312,7 +2335,23 @@ def _bwd_pallas(
         fuse_dq = n_kv <= 16
 
     def qmap(bb, h, j, t):
-        return (bb, h * group + t // n_q, t % n_q, 0)
+        i = t % n_q
+        if causal and window is None:
+            # dead-program DMA elision (round 4, the fwd's r1 lesson
+            # applied to the bwd): q blocks strictly above kv block j are
+            # compute-skipped but still streamed q/do/lse/delta unless
+            # their index aliases a live block — clamp i up to the first
+            # live q block so consecutive dead steps elide their copies.
+            # Live programs are never remapped (max only moves dead i).
+            # (A full triangular grid via scalar-prefetch index tables was
+            # built and measured IDENTICAL — 134.7 vs 134.9 TF at 4K —
+            # the clamp already removes all the dead cost; reverted for
+            # simplicity.)
+            i_min = jnp.clip(
+                (j * block_k - q_offset) // block_q, 0, n_q - 1
+            )
+            i = jnp.maximum(i, i_min)
+        return (bb, h * group + t // n_q, i, 0)
 
     dkdv_kernel = functools.partial(
         _bwd_dkdv_kernel,
@@ -2327,9 +2366,8 @@ def _bwd_pallas(
         block_k=block_k,
         window=window,
         sinks=sinks,
-        # q-row sub-predication on diagonal-crossing pairs (causal only):
-        # 256-row subs, the bwd mirror of the fwd diag_subs sweep result
-        diag_subs=max(block_q // 256, 1) if causal else 1,
+        # 2-D sub-predication on diagonal-crossing pairs (causal only)
+        diag_subs=max(block_q // 512, 1) if causal else 1,
         fuse_dq=fuse_dq,
     )
     out_specs = [
@@ -2379,15 +2417,17 @@ def _bwd_pallas(
             pltpu.VMEM((block_k, d_v), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
         ),
         interpret=interpret,
     )(*operands_bwd)
     if fuse_dq:
+        parts = dq_parts[0]
         # sum the per-kv-block partials; ds carried 1/log2e and q carried
         # sm_scale*log2e, so exactly sm_scale*log2e is still owed on dq
         dq = (
-            dq_parts[0].astype(jnp.float32).sum(axis=0)
+            parts.astype(jnp.float32).sum(axis=0)
             * (sm_scale * _LOG2E)
         ).astype(q.dtype)
         return dq[:, :, :n], dk[:, :, :s_len], dv[:, :, :s_len]
