@@ -2065,6 +2065,9 @@ def _bwd_dkdv_kernel(
                     sub_live = jnp.logical_and(
                         sub_live, jnp.logical_not(dead_past)
                     )
+                # (a split dispatching fully-live tiles through an
+                # UNMASKED instantiation was A/B'd: exactly neutral —
+                # Mosaic fuses the mask passes cheaply — and was dropped)
 
                 def _sub(rstart=rstart, cstart=cstart):
                     _accum(rstart, dsub, cstart, cw, True, dq_accum=True)
