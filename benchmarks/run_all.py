@@ -153,34 +153,56 @@ def build_benches(quick: bool, long: bool = False):
 
     # --- fused attention (sections 2.3-2.5) --------------------------------
     B, H, HKV, N, D = 1, 16, 4, 4096, 128
+
+    # interface-bytes accounting for the attention rows (VERDICT r4 task 9:
+    # the reference's memprofile prints TFLOPS AND GB/s,
+    # flashattn_forward_wmma_memprofile.cu:409-411): q + k + v in, out +
+    # lse out; the backward adds g/o/lse in and dq/dk/dv out. Internal
+    # recompute/partials traffic is NOT counted — this is the achieved
+    # interface bandwidth, the memprofile convention.
+    def attn_bytes(b_, h_, hkv_, n_, d_, bwd=False):
+        qo = b_ * h_ * n_ * d_ * 2
+        kv = 2 * b_ * hkv_ * n_ * d_ * 2
+        lse = b_ * h_ * n_ * 4
+        fwd_b = qo + kv + qo + lse
+        if not bwd:
+            return fwd_b
+        # in: q, k, v, o, g, lse; out: dq, dk, dv
+        return 3 * qo + 2 * kv + lse + qo
     q = jnp.asarray(rng.standard_normal((B, H, N, D)), dtype=jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((B, HKV, N, D)), dtype=jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((B, HKV, N, D)), dtype=jnp.bfloat16)
     reg("flashattn_fwd_causal_d128_seq4k",
         functools.partial(ops.flash_attention, causal=True),
-        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5))
+        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5),
+        bytes_accessed=attn_bytes(B, H, HKV, N, D))
     reg("flashattn_fwd_full_d128_seq4k",
         functools.partial(ops.flash_attention, causal=False),
-        (q, k, v), flops=4 * B * H * N * N * D)
+        (q, k, v), flops=4 * B * H * N * N * D,
+        bytes_accessed=attn_bytes(B, H, HKV, N, D))
     # fixed-max discipline (stable=False): bounded-logit serving fast path
     reg("flashattn_fwd_causal_d128_seq4k_fast",
         functools.partial(ops.flash_attention, causal=True, stable=False),
-        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5))
+        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5),
+        bytes_accessed=attn_bytes(B, H, HKV, N, D))
     reg("flashattn_fwd_full_d128_seq4k_fast",
         functools.partial(ops.flash_attention, causal=False, stable=False),
-        (q, k, v), flops=4 * B * H * N * N * D)
+        (q, k, v), flops=4 * B * H * N * N * D,
+        bytes_accessed=attn_bytes(B, H, HKV, N, D))
     # hybrid per-q-block discipline (stable="auto"): unconditionally
     # correct on any input — the caveat-free headline discipline
     reg("flashattn_fwd_causal_d128_seq4k_auto",
         functools.partial(ops.flash_attention, causal=True, stable="auto"),
-        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5))
+        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5),
+        bytes_accessed=attn_bytes(B, H, HKV, N, D))
     # auto with the cacheable k-norm scalar precomputed (k_max_norm):
     # the per-(K, layer) caching mode a serving/training stack uses —
     # skips only the k-half norm pass, never a correctness check
     reg("flashattn_fwd_causal_d128_seq4k_auto_kmax",
         functools.partial(ops.flash_attention, causal=True, stable="auto",
                           k_max=ops.k_max_norm(k)),
-        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5))
+        (q, k, v), flops=int(4 * B * H * N * N * D * 0.5),
+        bytes_accessed=attn_bytes(B, H, HKV, N, D))
 
     # BASELINE.md tracks attention-fwd vs roofline at d in {64,128} and
     # seq 4K-32K — the long-seq sweep (--long: the chained timing programs
@@ -192,14 +214,17 @@ def build_benches(quick: bool, long: bool = False):
         vl = jnp.asarray(rng.standard_normal((B, HKV, Nl, D)), jnp.bfloat16)
         reg(f"flashattn_fwd_causal_d128_seq{seq_k}k",
             functools.partial(ops.flash_attention, causal=True),
-            (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5))
+            (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5),
+            bytes_accessed=attn_bytes(B, H, HKV, Nl, D))
         reg(f"flashattn_fwd_causal_d128_seq{seq_k}k_fast",
             functools.partial(ops.flash_attention, causal=True, stable=False),
-            (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5))
+            (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5),
+            bytes_accessed=attn_bytes(B, H, HKV, Nl, D))
         reg(f"flashattn_fwd_causal_d128_seq{seq_k}k_auto",
             functools.partial(ops.flash_attention, causal=True,
                               stable="auto"),
-            (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5))
+            (ql, kl, vl), flops=int(4 * B * H * Nl * Nl * D * 0.5),
+            bytes_accessed=attn_bytes(B, H, HKV, Nl, D))
         if seq_k == 32:
             # sliding-window at 32K/window-4K: the O(N*W) grid skip in
             # action — useful FLOPs count only in-window pairs
@@ -208,7 +233,8 @@ def build_benches(quick: bool, long: bool = False):
             reg("flashattn_fwd_causal_d128_seq32k_win4k_fast",
                 functools.partial(ops.flash_attention, causal=True,
                                   stable=False, window=W),
-                (ql, kl, vl), flops=4 * B * H * pairs * D)
+                (ql, kl, vl), flops=4 * B * H * pairs * D,
+                bytes_accessed=attn_bytes(B, H, HKV, Nl, D))
             # + StreamingLLM sinks: useful pairs add the sink columns
             # visible below the band (the narrow sink-step instantiation,
             # VERDICT r4 task 9)
@@ -217,7 +243,8 @@ def build_benches(quick: bool, long: bool = False):
             reg("flashattn_fwd_causal_d128_seq32k_win4k_sinks64_fast",
                 functools.partial(ops.flash_attention, causal=True,
                                   stable=False, window=W, sinks=SK),
-                (ql, kl, vl), flops=4 * B * H * pairs_s * D)
+                (ql, kl, vl), flops=4 * B * H * pairs_s * D,
+                bytes_accessed=attn_bytes(B, H, HKV, Nl, D))
     # Backward pass. ROUND-4 CORRECTION: the r1-r3 rung's chain consumed
     # only dq, so XLA dead-code-eliminated the dkdv kernel inside the
     # timed loop — the recorded 111-124 TF "bwd" numbers measured
@@ -270,11 +297,13 @@ def build_benches(quick: bool, long: bool = False):
 
     reg("flashattn_bwd_causal_d128_seq4k", _bwd_only_cap, (q,),
         flops=int(10 * B * H * N * N * D * 0.5),
+        bytes_accessed=attn_bytes(B, H, HKV, N, D, bwd=True),
         chain=lambda out, args: (_couple(out[0], out[1], out[2]),))
     # grad rung (training step shape): fwd + bwd in one call; useful = 7
     # units (2 fwd + 5 bwd), causal-halved
     reg("flashattn_grad_causal_d128_seq4k", _fa_grads, (q, k, v),
         flops=int(14 * B * H * N * N * D * 0.5),
+        bytes_accessed=attn_bytes(B, H, HKV, N, D, bwd=True),
         chain=lambda out, args: (_couple(out[0], out[1], out[2]), args[1],
                                  args[2]))
     # bwd at 8K (fused form's gate boundary) and the 16/32K two-kernel
@@ -291,6 +320,7 @@ def build_benches(quick: bool, long: bool = False):
 
             reg(f"flashattn_bwd_causal_d128_seq{seq_k}k", _bwd_l, (qb,),
                 flops=int(10 * B * H * Nl * Nl * D * 0.5),
+                bytes_accessed=attn_bytes(B, H, HKV, Nl, D, bwd=True),
                 chain=lambda out, args: (
                     _couple(out[0], out[1], out[2]),
                 ),
@@ -299,6 +329,7 @@ def build_benches(quick: bool, long: bool = False):
             reg(f"flashattn_bwd_causal_d128_seq{seq_k}k", _bwd_only,
                 (qb,) + resl,
                 flops=int(10 * B * H * Nl * Nl * D * 0.5),
+                bytes_accessed=attn_bytes(B, H, HKV, Nl, D, bwd=True),
                 chain=_bwd_chain,
                 pair=(2, 6) if quick else (4, 12))
 
@@ -308,19 +339,22 @@ def build_benches(quick: bool, long: bool = False):
     v64 = jnp.asarray(rng.standard_normal((B, HKV, N, D64)), jnp.bfloat16)
     reg("flashattn_fwd_causal_d64_seq4k",
         functools.partial(ops.flash_attention, causal=True),
-        (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5))
+        (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5),
+        bytes_accessed=attn_bytes(B, H, HKV, N, D64))
     # d64 fixed-max: the KV-head-paired kernel (_fwd_kernel_packed) with
     # MXU-computed softmax sums — see perf_journal r3 for the measured
     # 0.50x structural MXU floor at this head dim
     reg("flashattn_fwd_causal_d64_seq4k_fast",
         functools.partial(ops.flash_attention, causal=True, stable=False),
-        (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5))
+        (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5),
+        bytes_accessed=attn_bytes(B, H, HKV, N, D64))
     # d64 unconditionally-correct hybrid (VERDICT r4 task 8): routes
     # through the UNPACKED hybrid kernel — r3 measured head pairing worth
     # ~1% over unpacked fast at d64, so auto forgoes it
     reg("flashattn_fwd_causal_d64_seq4k_auto",
         functools.partial(ops.flash_attention, causal=True, stable="auto"),
-        (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5))
+        (q64, k64, v64), flops=int(4 * B * H * N * N * D64 * 0.5),
+        bytes_accessed=attn_bytes(B, H, HKV, N, D64))
     # d64 pure-MXU probes (VERDICT r4 task 4a): validate the claimed 0.50x
     # structural MXU ceiling at d=64 by measuring the bare QK/PV dots at
     # this head dim (the d128 versions measured 0.82x+ in r2)
@@ -330,6 +364,23 @@ def build_benches(quick: bool, long: bool = False):
     reg("probe_pv_d64_seq4k", _probes.pv_probe, (q64, k64, v64),
         flops=int(2 * B * H * N * N * D64),
         chain=lambda out, args: (out.astype(jnp.bfloat16), args[1], args[2]))
+    # bare QK at the PACKED d64 shape (VERDICT r4 task 5): contraction-128
+    # block-diagonal operands on _fwd_kernel_packed's exact grid — the
+    # envelope the packed fused kernel (0.349x) must be judged against.
+    # Useful flops = the unpacked QK count (half the packed dot's MACs are
+    # the deliberate zero quadrants), so the fraction is directly
+    # comparable to probe_qk_d64_seq4k.
+    reg("probe_qk_d64_packed_seq4k", _probes.qk_packed_probe, (q64, k64),
+        flops=int(2 * B * H * N * N * D64),
+        # out [b, pairs, group, n, 2d] -> unpack the two lane-halves back
+        # into a [b, h, n, d] bf16 q for the next iteration (data-dependent
+        # carry, shape-exact)
+        chain=lambda out, args: (
+            jnp.concatenate(
+                [out[..., :D64], out[..., D64:]], axis=2
+            ).reshape(args[0].shape).astype(jnp.bfloat16),
+            args[1],
+        ))
 
     # KV-quantized prefill (fused in-kernel dequant): 4K point, plus the
     # BASELINE config-5 shape (GQA 32/8 heads, d=128, seq 32K, INT8 KV)
@@ -420,6 +471,14 @@ def build_benches(quick: bool, long: bool = False):
     ])
     reg("paged_decode_int8_b8_s8192",
         ops.paged_flash_decode_quant,
+        (qd, kp8, ksp, vp8, vsp, tables, lens),
+        bytes_accessed=kv_bytes // 2, flops=4 * DB * H * DS * D)
+    # opt-in q-int8 variant (round 5): per-row int8 q -> pure int8 MXU QK
+    # dot, no K dequant cast. +0.02x of roofline for ~2x output error vs
+    # the dequant oracle — measured, recorded, default OFF (see
+    # paged_flash_decode_quant's q_int8 note).
+    reg("paged_decode_int8_qint8_b8_s8192",
+        functools.partial(ops.paged_flash_decode_quant, q_int8=True),
         (qd, kp8, ksp, vp8, vsp, tables, lens),
         bytes_accessed=kv_bytes // 2, flops=4 * DB * H * DS * D)
 

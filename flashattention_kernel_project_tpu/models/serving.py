@@ -289,13 +289,25 @@ class Scheduler:
         # rows per slot, multi_step decode needs multi_step — reserve them
         # at admission
         self.multi_step = multi_step
+        self._tp_steps = None
         if multi_step > 1:
-            # paged x multi_step is supported (engine.decode_steps_paged,
-            # VERDICT r4 task 7); spec, TP-mesh and in-batch sampling
-            # remain walls for this mode
-            if self.spec or mesh is not None or self.sampling:
+            # linear, paged, AND TP-mesh backends (the TP window runs the
+            # scan inside shard_map: tp_engine.make_tp_decode_steps,
+            # VERDICT r4 task 6); spec and in-batch sampling remain walls
+            if self.spec or self.sampling or seq_mesh is not None:
                 raise NotImplementedError(
-                    "multi_step: greedy linear or paged backend only"
+                    "multi_step: greedy decode only (no spec/sampling/"
+                    "seq_mesh)"
+                )
+            if mesh is not None:
+                from flashattention_kernel_project_tpu.parallel import (
+                    tp_engine,
+                )
+
+                self._tp_steps = tp_engine.make_tp_decode_steps(
+                    cfg, mesh, n_steps=multi_step, model_axis=model_axis,
+                    n_splits=n_splits, quantized_cache=quantized_cache,
+                    paged=paged, interpret=interpret,
                 )
         self._reserve = spec_k + 1 if self.spec else (
             multi_step if multi_step > 1 else 0
@@ -736,7 +748,12 @@ class Scheduler:
         speculative round)."""
         m = self.multi_step
         old_len = np.asarray(self.cache.lengths).copy()
-        if self.paged:
+        if self._tp_steps is not None:
+            step_fn = functools.partial(
+                self._tp_steps, self._decode_params,
+                jnp.asarray(self.cur_tokens), self.cache,
+            )
+        elif self.paged:
             step_fn = functools.partial(
                 engine.decode_steps_paged, self.cfg, self._decode_params,
                 jnp.asarray(self.cur_tokens), self.cache, n_steps=m,

@@ -82,6 +82,11 @@ _LANES = 128  # VPU lane width; m/l scratch is lane-broadcast for alignment
 _HYBRID_FORCE_FAST = False
 _LOG2E = 1.4426950408889634  # log2(e): fwd softmax runs in the log2 domain
 _LN2 = 0.6931471805599453
+# fixed-max safe band (log2-domain |score| bound): exp2 overflows f32
+# accumulation near 2^120 and loses bf16-normal accuracy below ~2^-100;
+# 78 leaves summation headroom. Shared by the hybrid kernel's per-block
+# predicate and the wrapper's whole-call dispatch.
+_SAFE_BOUND = 78.0
 
 
 def _fwd_kernel(
@@ -213,7 +218,8 @@ def _fwd_kernel(
         # NaN-safe: a NaN bound compares False -> the online branch runs.
         pred_fast = (
             True if _HYBRID_FORCE_FAST
-            else bound_ref[pl.program_id(0), pl.program_id(1), q_idx] < 78.0
+            else bound_ref[pl.program_id(0), pl.program_id(1), q_idx]
+            < _SAFE_BOUND
         )
     else:
         pred_fast = None
@@ -1148,8 +1154,7 @@ def _fwd(
         and stable is False and not hybrid
     )
 
-    kernel = functools.partial(
-        _fwd_kernel,
+    kern_kwargs = dict(
         n_kv=n_kv,
         causal=causal,
         q_offset=q_offset,
@@ -1169,6 +1174,7 @@ def _fwd(
         n_kv_grid=n_kv_grid,
         hybrid=hybrid,
     )
+    kernel = functools.partial(_fwd_kernel, **kern_kwargs)
     # Dead-block DMA elision (same trick as flash_decode's dead-split
     # elision): KV blocks whose compute is pl.when'd off still cost their
     # HBM->VMEM copy unless the index_map maps them onto an already-resident
@@ -1339,9 +1345,16 @@ def _fwd(
             ],
             scratch_shapes=scratch_shapes,
         )
-        out, lse, *flag = pl.pallas_call(
+
+        # (A whole-call lax.cond dispatch — all-blocks-fast -> pure
+        # fixed-max kernel — was re-tried in round 5 and re-measured at
+        # ~45 us/call of conditional plumbing on the 4K rung (137.7 ->
+        # 126.0 TF), confirming the r3 measurement the in-kernel hybrid
+        # replaced. The per-program statement-level dispatch stays.)
+        out, lse = pl.pallas_call(
             kernel, grid_spec=grid_spec, **call_kwargs
         )(bound, *operands)
+        flag = []
     else:
         out, lse, *flag = pl.pallas_call(
             kernel,
@@ -1908,6 +1921,8 @@ def _bwd_dkdv_kernel(
     sinks: int = 0,
     diag_subs: int = 1,
     fuse_dq: bool = False,
+    ds_bf16: bool = False,
+    tri: bool = False,
 ):
     # fuse_dq (VERDICT r4 task 2): the same program ALSO emits this
     # (q block, kv block) pair's dq partial — ds @ k, sliced-stored
@@ -1956,7 +1971,8 @@ def _bwd_dkdv_kernel(
         live = True
         crosses = False
 
-    def _accum(rstart, rsub, cstart, csub, masked, dq_accum=False):
+    def _accum(rstart, rsub, cstart, csub, masked, dq_accum=False,
+               static_diag=False):
         # one (q-row sub x kv-col sub) tile of this (q, kv) block pair;
         # dk/dv/dq are additive so sub order is free
         q = q_ref[0, 0, rstart : rstart + rsub]   # (sm_scale pre-folded)
@@ -1971,7 +1987,18 @@ def _bwd_dkdv_kernel(
             preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
         )
-        if masked:
+        if masked and static_diag:
+            # triangular path: this tile sits ON the diagonal of an
+            # ALIGNED square pair (row base == col base statically), so
+            # the causal mask is the program-id-free `j <= i` — a
+            # loop-invariant constant tensor Mosaic hoists out of the
+            # grid, vs the per-tile offset iota chain of the general path
+            cm = (
+                jax.lax.broadcasted_iota(jnp.int32, (rsub, csub), 1)
+                <= jax.lax.broadcasted_iota(jnp.int32, (rsub, csub), 0)
+            )
+            s = jnp.where(cm, s, NEG_INF)
+        elif masked:
             col = kv_idx * block_k + cstart + jax.lax.broadcasted_iota(
                 jnp.int32, (rsub, csub), 1
             )
@@ -1986,7 +2013,9 @@ def _bwd_dkdv_kernel(
                     wm = jnp.logical_or(wm, col < sinks)
                 cm = jnp.logical_and(cm, wm)
             s = jnp.where(cm, s, NEG_INF)
-        # p = exp2(s - lse), both in the log2 domain (wrapper folds log2e);
+        # p = exp2(s - lse), both in the log2 domain (wrapper folds log2e
+        # into q and ALSO shifts lse by log2(log2e), so p carries the
+        # 1/log2e that ds owes — no per-tile scale multiply anywhere);
         # padded q rows carry lse = +1e30 -> p = 0
         p = jnp.exp2((s - lse).astype(v.dtype))
         dv_scr[cstart : cstart + csub] = dv_scr[
@@ -2001,7 +2030,12 @@ def _bwd_dkdv_kernel(
             preferred_element_type=jnp.float32,
             precision=_precision(v.dtype),
         )
-        ds = (p.astype(jnp.float32) * (dp - delta) * sm_scale).astype(q.dtype)
+        if ds_bf16:
+            # one rounding of (dp - delta) to the input dtype before the
+            # multiply: drops the p upcast + f32 multiply + downcast chain
+            ds = p * (dp - delta).astype(q.dtype)
+        else:
+            ds = (p.astype(jnp.float32) * (dp - delta)).astype(q.dtype)
         dk_scr[cstart : cstart + csub] = dk_scr[
             cstart : cstart + csub
         ] + jax.lax.dot_general(
@@ -2074,11 +2108,32 @@ def _bwd_dkdv_kernel(
 
                 pl.when(sub_live)(_sub)
 
-    masked_fn = (
-        _compute_masked_subs
-        if (causal and diag_subs > 1)
-        else (lambda: _accum(0, block_q, 0, block_k, True, dq_accum=True))
-    )
+    def _compute_masked_tri():
+        # STATIC triangular split (round 5). Gated by the wrapper to the
+        # aligned-square case (causal, no window, q_offset == 0,
+        # block_q == block_k), where the only mask-crossing pair is the
+        # exact diagonal (q_idx == kv_idx): row sub r is FULLY live over
+        # cols [0, r*tsub) — one unmasked wide dot — and mask-crossed only
+        # on its [tsub, tsub] diagonal tile. Executed fraction drops from
+        # the 2-D tile path's 3/4 to (n+1)/2n, the masked VPU work (iota/
+        # compare/select) drops to the diagonal tiles alone, and every
+        # branch is static (no pl.when region entries).
+        tsub = block_q // diag_subs
+        for r in range(diag_subs):
+            rstart = r * tsub
+            if r:
+                _accum(rstart, tsub, 0, rstart, False, dq_accum=True)
+            _accum(rstart, tsub, rstart, tsub, True, dq_accum=True,
+                   static_diag=True)
+
+    if causal and tri:
+        masked_fn = _compute_masked_tri
+    elif causal and diag_subs > 1:
+        masked_fn = _compute_masked_subs
+    else:
+        masked_fn = lambda: _accum(  # noqa: E731
+            0, block_q, 0, block_k, True, dq_accum=True
+        )
     if fuse_dq:
         # every (j, t) partial block is summed by the wrapper — dead
         # pairs and dead subs must read zero; live stores overwrite
@@ -2095,12 +2150,15 @@ def _bwd_dkdv_kernel(
 
     @pl.when(is_emit)
     def _emit():
-        # q arrives sm_scale-pre-folded (q_scaled = scale*q) and this kernel
-        # runs with sm_scale=1: ds is w.r.t. the scaled scores, and
-        # ds^T @ q_scaled == scale * (ds^T @ q_raw) — exactly one sm_scale on
-        # dk, per the chain rule through s = scale * (q . k).
+        # q arrives sm_scale-pre-folded (q_scaled = scale*q): ds is w.r.t.
+        # the scaled scores, and ds^T @ q_scaled == scale * (ds^T @ q_raw)
+        # — exactly one sm_scale on dk, per the chain rule through
+        # s = scale * (q . k). p carries 1/log2e (the wrapper's lse shift),
+        # which is right for ds but a stray factor on dv = p^T @ do —
+        # multiplied back out here, once per kv block instead of once per
+        # score tile.
         dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+        dv_ref[0, 0] = (dv_scr[:] * _LOG2E).astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(
@@ -2202,7 +2260,9 @@ def _bwd_dq_kernel(
             preferred_element_type=jnp.float32,
             precision=_precision(v.dtype),
         )
-        ds = (p.astype(jnp.float32) * (dp - delta) * sm_scale).astype(q.dtype)
+        # p carries 1/log2e (wrapper lse shift); the sm_scale * log2e owed
+        # on dq rides the emit, not a per-tile multiply
+        ds = (p.astype(jnp.float32) * (dp - delta)).astype(q.dtype)
         dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
             ds, k[start : start + dsub], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -2267,17 +2327,16 @@ def _bwd_dq_kernel(
 
     @pl.when(kv_idx == n_kv - 1)
     def _emit():
+        dqv = (dq_scr[:] * (sm_scale * _LOG2E)).astype(dq_ref.dtype)
         if g_stack > 1:
-            dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype).reshape(
-                g_stack, block_q, dq_scr.shape[-1]
-            )
+            dq_ref[0, 0] = dqv.reshape(g_stack, block_q, dq_scr.shape[-1])
         else:
-            dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+            dq_ref[0, 0] = dqv
 
 
 def _bwd_pallas(
     res, g, causal, sm_scale, q_offset, block_q, block_k, interpret,
-    window=None, sinks=0, fuse_dq=None,
+    window=None, sinks=0, fuse_dq=None, ds_bf16=False, tri_subs=None,
 ):
     """FlashAttention-2 backward as two Pallas kernels. Returns (dq, dk, dv).
 
@@ -2318,122 +2377,196 @@ def _bwd_pallas(
         v = jnp.pad(v, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
     # forward saved lse of the SCALED scores (natural log); recompute in the
     # log2 domain like the forward: fold sm_scale * log2(e) into q and put
-    # lse into log2 as well, so p = exp2(s2 - lse2) == exp(s - lse) exactly
+    # lse into log2 as well, so p = exp2(s2 - lse2) == exp(s - lse) exactly.
+    # The extra + log2(log2e) shift makes the kernels' p carry the 1/log2e
+    # factor ds owes (round 5): ds = p * (dp - delta) with NO per-tile scale
+    # multiply; dv (the only p consumer that doesn't want the factor)
+    # multiplies it back out at emit, once per kv block.
     q_scaled = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
-    lse4 = lse4 * _LOG2E
+    lse4 = lse4 * _LOG2E + 0.5287663729448977  # + log2(log2(e))
 
     np_, sp = q.shape[2], k.shape[2]
     n_q, n_kv = np_ // block_q, sp // block_k
     n_inner = group * n_q
 
-    # ---- dk / dv (+ fused dq partials at short seq) -----------------------
+    # ---- dk / dv (+ fused dq partials) ------------------------------------
     # fuse_dq: one kernel executes all 5 useful matmuls per (q, kv) pair
     # (s, dv, dp, dk, dq) instead of 7 across two kernels — removes the
     # 5/7 recompute ceiling (docs/perf_journal.md r4). dq partials cost
-    # n_kv * |q| extra HBM traffic and footprint (bf16): at 16K that is
-    # ~2.5 ms of traffic against ~8 ms of recompute saved (win); at 32K
-    # the partials array alone is 4 GB of HBM — the two-kernel form
-    # stays for n_kv > 16.
+    # per-chunk HBM traffic and footprint (bf16); CHUNKING over kv-block
+    # groups of 8 (round 5, VERDICT r4 task 2) bounds the partials array
+    # at 8 * |q| regardless of seq — at 32K the unchunked array was 4 GB,
+    # chunked it is <= 1 GB transient and the fused form's +23% carries.
     if fuse_dq is None:
-        fuse_dq = n_kv <= 16
+        fuse_dq = True
 
-    def qmap(bb, h, j, t):
-        i = t % n_q
-        if causal and window is None:
-            # dead-program DMA elision (round 4, the fwd's r1 lesson
-            # applied to the bwd): q blocks strictly above kv block j are
-            # compute-skipped but still streamed q/do/lse/delta unless
-            # their index aliases a live block — clamp i up to the first
-            # live q block so consecutive dead steps elide their copies.
-            # Live programs are never remapped (max only moves dead i).
-            # (A full triangular grid via scalar-prefetch index tables was
-            # built and measured IDENTICAL — 134.7 vs 134.9 TF at 4K —
-            # the clamp already removes all the dead cost; reverted for
-            # simplicity.)
-            i_min = jnp.clip(
-                (j * block_k - q_offset) // block_q, 0, n_q - 1
-            )
-            i = jnp.maximum(i, i_min)
-        return (bb, h * group + t // n_q, i, 0)
-
-    dkdv_kernel = functools.partial(
-        _bwd_dkdv_kernel,
-        n_inner=n_inner,
-        n_q=n_q,
-        causal=causal,
-        q_offset=q_offset,
-        # q carries sm_scale*log2e; ds^T @ q_scaled would pick up the stray
-        # log2e, so scale ds by 1/log2e to leave exactly one sm_scale on dk
-        sm_scale=1.0 / _LOG2E,
-        block_q=block_q,
-        block_k=block_k,
-        window=window,
-        sinks=sinks,
-        # 2-D sub-predication on diagonal-crossing pairs (causal only)
-        diag_subs=max(block_q // 512, 1) if causal else 1,
-        fuse_dq=fuse_dq,
+    # masked-pair strategy: the STATIC triangular split (see
+    # _compute_masked_tri) applies when the only crossing pair is the
+    # aligned diagonal; otherwise the dynamic 2-D tile predication.
+    tri = (
+        causal and window is None and q_offset == 0
+        and block_q == block_k and tri_subs != 0
     )
-    out_specs = [
-        pl.BlockSpec((1, 1, block_k, d), lambda bb, h, j, t: (bb, h, j, 0)),
-        pl.BlockSpec(
-            (1, 1, block_k, d_v), lambda bb, h, j, t: (bb, h, j, 0)
-        ),
-    ]
-    out_shape = [
-        jax.ShapeDtypeStruct((b, hkv, sp, d), k.dtype),
-        jax.ShapeDtypeStruct((b, hkv, sp, d_v), v.dtype),
-    ]
-    in_specs_bwd = [
-        pl.BlockSpec((1, 1, block_q, d), qmap),
-        pl.BlockSpec((1, 1, block_q, d_v), qmap),
-        pl.BlockSpec((1, 1, block_q, 1), qmap),
-        pl.BlockSpec((1, 1, block_q, 1), qmap),
-        pl.BlockSpec((1, 1, block_k, d), lambda bb, h, j, t: (bb, h, j, 0)),
-        pl.BlockSpec(
-            (1, 1, block_k, d_v), lambda bb, h, j, t: (bb, h, j, 0)
-        ),
-    ]
-    operands_bwd = [q_scaled, gf, lse4, delta, k, v]
-    if fuse_dq:
-        # kT [b, hkv, d, sp]: one XLA transpose of K per call so the dq
-        # dot runs NT against [d, block_k] tiles (see kernel note)
-        kT = jnp.swapaxes(k, -1, -2)
-        in_specs_bwd.append(pl.BlockSpec(
-            (1, 1, d, block_k), lambda bb, h, j, t: (bb, h, 0, j)
-        ))
-        operands_bwd.append(kT)
-        out_specs.append(pl.BlockSpec(
-            (1, 1, 1, block_q, d),
-            lambda bb, h, j, t: (j, bb, h * group + t // n_q, t % n_q, 0),
-        ))
-        out_shape.append(
-            jax.ShapeDtypeStruct((n_kv, b, hq, np_, d), q.dtype)
+    if tri_subs is None:
+        # 512-row triangular rungs at the (1024, 1024) blocks: measured
+        # 139.9 TF vs 136.3 (tri_subs=4) and 134.9 (r4 2-D tiles) at
+        # 4K/d128 — the finer split's lower dead fraction (5/8 vs 3/4)
+        # loses more to MXU pipeline fill on 256-row dots than it saves
+        tri_subs = 2
+    tri_subs = max(min(tri_subs, block_q // 8), 1)
+    while block_q % tri_subs:
+        tri_subs -= 1
+
+    def _run_dkdv(kc, vc, nc, qs, gfs, lses, deltas, q_off, fuse):
+        # one dkdv launch over kv blocks [of some chunk]; chunk-local
+        # coordinates: kc/vc are the chunk's kv slice, qs/... the q slice
+        # from the first causally-live q block, q_off the chunk-local
+        # offset (q row 0 position relative to kc row 0)
+        n_q_l = qs.shape[2] // block_q
+        n_inner_l = group * n_q_l
+
+        def qmap(bb, h, j, t):
+            i = t % n_q_l
+            if causal and window is None:
+                # dead-program DMA elision (round 4, the fwd's r1 lesson
+                # applied to the bwd): q blocks strictly above kv block j
+                # are compute-skipped but still streamed q/do/lse/delta
+                # unless their index aliases a live block — clamp i up to
+                # the first live q block so consecutive dead steps elide
+                # their copies. Live programs are never remapped (max only
+                # moves dead i). (A full triangular grid via
+                # scalar-prefetch index tables was built and measured
+                # IDENTICAL — 134.7 vs 134.9 TF at 4K — the clamp already
+                # removes all the dead cost; reverted for simplicity.)
+                i_min = jnp.clip(
+                    (j * block_k - q_off) // block_q, 0, n_q_l - 1
+                )
+                i = jnp.maximum(i, i_min)
+            return (bb, h * group + t // n_q_l, i, 0)
+
+        # tri's static-alignment premise (crossing pair == exact diagonal)
+        # needs the CHUNK-local offset to be 0 too (kv longer than q can
+        # clamp r0 below c0)
+        tri_l = tri and q_off == 0
+        dkdv_kernel = functools.partial(
+            _bwd_dkdv_kernel,
+            n_inner=n_inner_l,
+            n_q=n_q_l,
+            causal=causal,
+            q_offset=q_off,
+            sm_scale=1.0,  # unused: the scale rides the wrapper lse shift
+            block_q=block_q,
+            block_k=block_k,
+            window=window,
+            sinks=sinks,
+            # sub-predication on diagonal-crossing pairs (causal only)
+            diag_subs=(
+                tri_subs if tri_l
+                else (max(block_q // 512, 1) if causal else 1)
+            ),
+            fuse_dq=fuse,
+            ds_bf16=ds_bf16 and q.dtype == jnp.bfloat16,
+            tri=tri_l,
         )
-    dk, dv, *dq_parts = pl.pallas_call(
-        dkdv_kernel,
-        grid=(b, hkv, n_kv, n_inner),
-        in_specs=in_specs_bwd,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d_v), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
-        ),
-        interpret=interpret,
-    )(*operands_bwd)
+        out_specs = [
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda bb, h, j, t: (bb, h, j, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d_v), lambda bb, h, j, t: (bb, h, j, 0)
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((b, hkv, nc * block_k, d), k.dtype),
+            jax.ShapeDtypeStruct((b, hkv, nc * block_k, d_v), v.dtype),
+        ]
+        in_specs_bwd = [
+            pl.BlockSpec((1, 1, block_q, d), qmap),
+            pl.BlockSpec((1, 1, block_q, d_v), qmap),
+            pl.BlockSpec((1, 1, block_q, 1), qmap),
+            pl.BlockSpec((1, 1, block_q, 1), qmap),
+            pl.BlockSpec(
+                (1, 1, block_k, d), lambda bb, h, j, t: (bb, h, j, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d_v), lambda bb, h, j, t: (bb, h, j, 0)
+            ),
+        ]
+        operands_bwd = [qs, gfs, lses, deltas, kc, vc]
+        if fuse:
+            # kT [b, hkv, d, nc*block_k]: one XLA transpose of the K chunk
+            # per call so the dq dot runs NT against [d, block_k] tiles
+            # (see kernel note)
+            in_specs_bwd.append(pl.BlockSpec(
+                (1, 1, d, block_k), lambda bb, h, j, t: (bb, h, 0, j)
+            ))
+            operands_bwd.append(jnp.swapaxes(kc, -1, -2))
+            out_specs.append(pl.BlockSpec(
+                (1, 1, 1, block_q, d),
+                lambda bb, h, j, t: (
+                    j, bb, h * group + t // n_q_l, t % n_q_l, 0
+                ),
+            ))
+            out_shape.append(
+                jax.ShapeDtypeStruct((nc, b, hq, qs.shape[2], d), q.dtype)
+            )
+        return pl.pallas_call(
+            dkdv_kernel,
+            grid=(b, hkv, nc, n_inner_l),
+            in_specs=in_specs_bwd,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d_v), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary"),
+            ),
+            interpret=interpret,
+        )(*operands_bwd)
+
     if fuse_dq:
-        parts = dq_parts[0]
-        # sum the per-kv-block partials; ds carried 1/log2e and q carried
-        # sm_scale*log2e, so exactly sm_scale*log2e is still owed on dq
-        dq = (
-            parts.astype(jnp.float32).sum(axis=0)
-            * (sm_scale * _LOG2E)
-        ).astype(q.dtype)
+        CH = 8  # kv blocks per chunk: bounds the dq partials at 8 * |q|
+        dks, dvs = [], []
+        dq32 = None
+        for j0 in range(0, n_kv, CH):
+            nc = min(CH, n_kv - j0)
+            c0 = j0 * block_k
+            # first causally-live q block for this chunk's kv columns
+            r0 = (
+                min(max(0, (c0 - q_offset) // block_q), n_q - 1) * block_q
+                if causal else 0
+            )
+            dk_c, dv_c, parts = _run_dkdv(
+                k[:, :, c0 : c0 + nc * block_k],
+                v[:, :, c0 : c0 + nc * block_k],
+                nc,
+                q_scaled[:, :, r0:], gf[:, :, r0:],
+                lse4[:, :, r0:], delta[:, :, r0:],
+                q_offset + r0 - c0,
+                True,
+            )
+            dks.append(dk_c)
+            dvs.append(dv_c)
+            # sum this chunk's per-kv-block partials into the f32 dq
+            # accumulator; ds carried 1/log2e and q carried sm_scale*log2e,
+            # so exactly sm_scale*log2e is still owed on dq at the end
+            add = parts.astype(jnp.float32).sum(axis=0)
+            if dq32 is None and r0 == 0:
+                dq32 = add
+            else:
+                if dq32 is None:
+                    dq32 = jnp.zeros((b, hq, np_, d), jnp.float32)
+                dq32 = dq32.at[:, :, r0:].add(add)
+        dk = jnp.concatenate(dks, axis=2) if len(dks) > 1 else dks[0]
+        dv = jnp.concatenate(dvs, axis=2) if len(dvs) > 1 else dvs[0]
+        dq = (dq32 * (sm_scale * _LOG2E)).astype(q.dtype)
         return dq[:, :, :n], dk[:, :, :s_len], dv[:, :, :s_len]
+
+    dk, dv = _run_dkdv(k, v, n_kv, q_scaled, gf, lse4, delta, q_offset,
+                       False)
 
     # ---- dq ---------------------------------------------------------------
     # GQA group stacking (fwd's winning move, r3): grid over KV heads with

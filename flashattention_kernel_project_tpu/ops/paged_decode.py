@@ -751,24 +751,22 @@ def _paged_decode_kernel_q(
 def _paged_gather_kernel_q(
     table_ref,
     len_ref,
-    q_ref,      # [1, 1, GP, D]
-    k_hbm,      # ANY [n_pages, Hkv, page, D] int8/fp8 — gathered manually
-    ks_ref,     # [1, 1, 1, span] f32 — scales PRE-GATHERED by the wrapper
-    v_hbm,
-    vs_ref,
-    o_ref,
-    k_buf,      # VMEM [2, G*page, D] 8-bit
-    v_buf,
-    m_scr,
-    l_scr,
-    acc_scr,
-    sem,        # DMA semaphores [2, 2, G] (slot x {k, v} x page)
-    *,
+    q_ref,      # [1, 1, GP, D] (int8 with per-row scale when q_int8)
+    *rest,
     page_size: int,
     g_pages: int,
     n_splits: int,
     n_slots: int = 2,
+    q_int8: bool = False,
+    compute_dtype=jnp.bfloat16,
 ):
+    if q_int8:
+        (qs_ref, k_hbm, ks_ref, v_hbm, vs_ref, o_ref,
+         k_buf, v_buf, m_scr, l_scr, acc_scr, sem) = rest
+    else:
+        (k_hbm, ks_ref, v_hbm, vs_ref, o_ref,
+         k_buf, v_buf, m_scr, l_scr, acc_scr, sem) = rest
+        qs_ref = None
     """8-bit variant of _paged_gather_kernel. Only the VALUE pages are
     kernel-gathered: the lane-major scale rows are 512 B/page, and 32 tiny
     descriptors per split measured ~1.1 us/program of pure issue cost
@@ -783,20 +781,27 @@ def _paged_gather_kernel_q(
     length = len_ref[b]
     span = g_pages * page_size
 
-    def dmas(s_idx, slot, i):
+    # (A GLOBAL slot rotation prefetching across (b, h) boundaries — grid
+    # step g = (b*Hkv + h)*n_splits + s, each program issuing split
+    # g + depth with dynamic (b', h') descriptor indices — was built and
+    # measured in round 5: 142.0 us vs 135.2 for this per-(b,h) form at
+    # the 8x8K int8 rung, worse at every slot depth. The per-descriptor
+    # div/rem scalar chains cost more than the 32 boundary-warmup stalls
+    # they remove; reverted.)
+    def dmas(s_idx, slot_, i):
         pid = _live_page(table_ref, len_ref, b, s_idx * g_pages + i,
                          page_size)
         sl = pl.ds(i * page_size, page_size)
         return (
             pltpu.make_async_copy(
-                k_hbm.at[pid, h], k_buf.at[slot, sl], sem.at[slot, 0, i]),
+                k_hbm.at[pid, h], k_buf.at[slot_, sl], sem.at[slot_, 0, i]),
             pltpu.make_async_copy(
-                v_hbm.at[pid, h], v_buf.at[slot, sl], sem.at[slot, 1, i]),
+                v_hbm.at[pid, h], v_buf.at[slot_, sl], sem.at[slot_, 1, i]),
         )
 
-    def issue(s_idx, slot):
+    def issue(s_idx, slot_):
         for i in range(g_pages):
-            for c in dmas(s_idx, slot, i):
+            for c in dmas(s_idx, slot_, i):
                 c.start()
 
     depth = n_slots - 1
@@ -830,15 +835,29 @@ def _paged_gather_kernel_q(
     @pl.when(live)
     def _compute():
         q = q_ref[0, 0]
-        k = k_buf[slot].astype(q.dtype)
-        v = v_buf[slot].astype(q.dtype)
+        v = v_buf[slot].astype(compute_dtype)
         ks = ks_ref[0, 0]                  # [1, span] f32
-        vs = vs_ref[0, 0].astype(q.dtype)
+        vs = vs_ref[0, 0].astype(compute_dtype)
         gp = q.shape[0]
-        st = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * ks
+        if q_int8:
+            # VERDICT r4 task 4: the K-side dequant cast was ~half of the
+            # per-split VPU chain sitting unoverlapped (the split's critical
+            # path is VPU, not DMA — slots 2/3/4 measured flat). With q
+            # quantized per-row (wrapper), QK^T runs as a PURE int8 MXU dot
+            # straight off the gathered page buffer: no K cast at all, and
+            # the exact int32 scores dequantize on the score row where the
+            # per-token ks multiply already lives (one extra [gp, span]
+            # multiply by the per-row q scale).
+            st = jax.lax.dot_general(
+                q, k_buf[slot], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * ks * qs_ref[0, 0]
+        else:
+            k = k_buf[slot].astype(q.dtype)
+            st = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * ks
         col = s * span + jax.lax.broadcasted_iota(jnp.int32, (gp, span), 1)
         st = jnp.where(col < length, st, NEG_INF)
         m_prev = m_scr[:]
@@ -864,7 +883,8 @@ def _paged_gather_kernel_q(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "interpret", "gather", "slots")
+    jax.jit,
+    static_argnames=("sm_scale", "interpret", "gather", "slots", "q_int8"),
 )
 def paged_flash_decode_quant(
     q: jax.Array,
@@ -879,6 +899,7 @@ def paged_flash_decode_quant(
     interpret: bool | None = None,
     gather: bool = True,
     slots: int = 2,
+    q_int8: bool | None = None,
 ) -> jax.Array:
     """paged_flash_decode against an 8-bit page pool.
 
@@ -902,10 +923,32 @@ def paged_flash_decode_quant(
     if sm_scale is None:
         sm_scale = 1.0 / (d ** 0.5)
 
-    qg = (q.astype(jnp.float32) * (sm_scale * _LOG2E)).astype(q.dtype)
-    qg = qg.reshape(b, hkv, g, d)
+    if q_int8 is None:
+        # Default OFF (round-5 measurement): quantizing q per-row to run
+        # QK as a pure int8 MXU dot removes the K-side dequant cast and
+        # buys 0.574 -> 0.596x of the HBM roofline at the 8x8K rung
+        # (142.8 -> 137.5 us) — but the extra rounding roughly DOUBLES
+        # the output error vs the dequantized-cache oracle (4-5e-3 ->
+        # ~1.1e-2 rel-L2 on-chip), straddling the repo's 1e-2 numerics
+        # gate. Serving stacks that accept int8-q noise can opt in.
+        q_int8 = False
+    q_int8 = bool(q_int8) and bool(gather) and k_pages.dtype == jnp.int8
+
+    qf = q.astype(jnp.float32) * (sm_scale * _LOG2E)
+    qg = qf.astype(q.dtype).reshape(b, hkv, g, d)
     if gp != g:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+    qs_rows = None
+    if q_int8:
+        # per-row symmetric int8 quantization of the folded q (scores stay
+        # exact int32 up to this one rounding; the row scale rides the
+        # score dequant multiply in-kernel)
+        qf = qf.reshape(b, hkv, g, d)
+        if gp != g:
+            qf = jnp.pad(qf, ((0, 0), (0, 0), (0, gp - g), (0, 0)))
+        qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        qs_rows = jnp.where(qmax == 0.0, 1.0, qmax / 127.0)
+        qg = jnp.round(qf / qs_rows).clip(-127, 127).astype(jnp.int8)
 
     if gather:
         gpages = _gather_pages_per_split(page_size, max_pages, k_pages.dtype.itemsize)
@@ -927,24 +970,35 @@ def paged_flash_decode_quant(
         ksg, vsg = _scales(k_scale_pages), _scales(v_scale_pages)
         kernel = functools.partial(
             _paged_gather_kernel_q, page_size=page_size, g_pages=gpages,
-            n_splits=n_splits, n_slots=slots,
+            n_splits=n_splits, n_slots=slots, q_int8=q_int8,
+            compute_dtype=q.dtype,
         )
+        in_specs = [
+            pl.BlockSpec(
+                (1, 1, gp, d), lambda bb, h, s, tbl, ln: (bb, h, 0, 0)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 1, 1, span), lambda bb, h, s, tbl, ln: (bb, h, 0, s)
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 1, 1, span), lambda bb, h, s, tbl, ln: (bb, h, 0, s)
+            ),
+        ]
+        operands = [
+            block_table.astype(jnp.int32), lengths.astype(jnp.int32),
+            qg, k_pages, ksg, v_pages, vsg,
+        ]
+        if q_int8:
+            in_specs.insert(1, pl.BlockSpec(
+                (1, 1, gp, 1), lambda bb, h, s, tbl, ln: (bb, h, 0, 0)
+            ))
+            operands.insert(3, qs_rows)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(b, hkv, n_splits),
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, gp, d), lambda bb, h, s, tbl, ln: (bb, h, 0, 0)
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(
-                    (1, 1, 1, span), lambda bb, h, s, tbl, ln: (bb, h, 0, s)
-                ),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(
-                    (1, 1, 1, span), lambda bb, h, s, tbl, ln: (bb, h, 0, s)
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, gp, d), lambda bb, h, s, tbl, ln: (bb, h, 0, 0)
             ),
@@ -965,11 +1019,7 @@ def paged_flash_decode_quant(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(
-            block_table.astype(jnp.int32),
-            lengths.astype(jnp.int32),
-            qg, k_pages, ksg, v_pages, vsg,
-        )
+        )(*operands)
         return out[:, :, :g].reshape(b, hq, d).astype(q.dtype)
 
     kernel = functools.partial(

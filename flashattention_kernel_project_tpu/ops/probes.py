@@ -178,6 +178,87 @@ def qk_kt_probe(q, k, v, *, block_q=512, block_k=512, interpret=None):
     )(q, kt)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def qk_packed_probe(q, k, *, block_q=256, block_k=512, interpret=None):
+    """Bare QK^T at the PACKED d<=64 shape (VERDICT r4 task 5): the exact
+    grid/blocks of _fwd_kernel_packed — q rows [group*block_q, 2d] (two
+    heads' queries side by side) against a PRE-PACKED block-diagonal K tile
+    [2*block_k, 2d], contraction depth 2d=128 — with qk_probe's sum-fold
+    output stand-in. Measures the pure MXU envelope of the packed
+    formulation: if it reads ~0.3x (like the unpacked d64 probes), the d64
+    fused kernel at 0.35x is genuinely floored; if materially higher, the
+    kernel is leaving packed headroom on the table. K packing rides XLA
+    here (one O(S*D) relayout); the fused kernel packs per tile in-VPU —
+    that cost is deliberately OUTSIDE this envelope."""
+    if interpret is None:
+        interpret = default_interpret()
+    b, hq, n, d = q.shape
+    _, hkv, s, _ = k.shape
+    assert hkv % 2 == 0, hkv
+    pairs = hkv // 2
+    group = hq // hkv
+    n_q, n_kv = n // block_q, s // block_k
+    rows = group * block_q
+    # q pair-packed along lanes (same layout as _fwd_packed's q_in)
+    q_in = (
+        q.reshape(b, pairs, 2, group, n, d)
+        .transpose(0, 1, 3, 4, 2, 5)
+        .reshape(b, pairs, group, n, 2 * d)
+    )
+    # K expanded block-diagonally per kv block: [[k_A, 0], [0, k_B]]
+    kA = k[:, 0::2].reshape(b, pairs, n_kv, block_k, d)
+    kB = k[:, 1::2].reshape(b, pairs, n_kv, block_k, d)
+    z = jnp.zeros_like(kA)
+    kp = jnp.concatenate(
+        [jnp.concatenate([kA, z], -1), jnp.concatenate([z, kB], -1)], -2
+    ).reshape(b, pairs, 2 * s, 2 * d)
+
+    def kernel(q_ref, kp_ref, o_ref, acc_ref):
+        j = pl.program_id(3)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        qv = q_ref[0, 0].reshape(rows, 2 * d)
+        s_ = jax.lax.dot_general(
+            qv, kp_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] += jnp.sum(s_, axis=-1, keepdims=True)
+
+        @pl.when(j == n_kv - 1)
+        def _():
+            o_ref[0, 0] = acc_ref[:].reshape(group, block_q, 2 * d)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(b, pairs, n_q, n_kv),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, group, block_q, 2 * d),
+                lambda bb, hh, i, j: (bb, hh, 0, i, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, 2 * block_k, 2 * d),
+                lambda bb, hh, i, j: (bb, hh, j, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, group, block_q, 2 * d),
+            lambda bb, hh, i, j: (bb, hh, 0, i, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, pairs, group, n, 2 * d), jnp.float32
+        ),
+        scratch_shapes=[pltpu.VMEM((rows, 2 * d), jnp.float32)],
+        **_std_grid(b, pairs, n_q, n_kv),
+        interpret=interpret,
+    )(q_in, kp)
+
+
 def _pv_kernel_factory(*, n_kv, block_q, block_k, d):
     def kernel(q_ref, k_ref, v_ref, o_ref, acc_ref):
         j = pl.program_id(3)

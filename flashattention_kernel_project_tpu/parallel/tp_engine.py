@@ -164,6 +164,51 @@ def make_tp_paged_decode(
     ))
 
 
+def make_tp_decode_steps(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    *,
+    n_steps: int,
+    model_axis: str = "model",
+    n_splits: int | None = None,
+    quantized_cache: bool = False,
+    paged: bool = False,
+    interpret: bool | None = None,
+):
+    """Multi-step decode window over the TP mesh (VERDICT r4 task 6:
+    multi_step x TP — the two best throughput levers compose). The n_steps
+    greedy lax.scan (engine.decode_steps / decode_steps_paged) runs INSIDE
+    shard_map, so ONE dispatch advances the whole window with
+    megatron-sharded weights and the head-sharded (or head-sharded paged)
+    cache; the per-step psums ride ICI inside the scan body exactly as in
+    the single-step TP path. fn(params, tokens[B], cache) ->
+    (tokens [B, n_steps], cache advanced n_steps)."""
+    tp = mesh.shape[model_axis]
+    lcfg = local_config(cfg, tp)
+    rules = tfm.param_shardings(cfg, model_axis=model_axis)
+    if paged:
+        cspecs = paged_cache_specs(quantized_cache, cfg.n_layers, model_axis)
+
+        def _steps(params, tokens, cache):
+            return engine.decode_steps_paged(
+                lcfg, params, tokens, cache, n_steps=n_steps,
+                interpret=interpret, axis=model_axis,
+            )
+    else:
+        cspecs = cache_specs(quantized_cache, cfg.n_layers, model_axis)
+
+        def _steps(params, tokens, cache):
+            return engine.decode_steps(
+                lcfg, params, tokens, cache, n_steps=n_steps,
+                n_splits=n_splits, interpret=interpret, axis=model_axis,
+            )
+
+    return jax.jit(shard_map(
+        _steps, mesh=mesh, check_vma=False,
+        in_specs=(rules, P(), cspecs), out_specs=(P(), cspecs),
+    ))
+
+
 def make_tp_engine(
     cfg: tfm.TransformerConfig,
     mesh: Mesh,

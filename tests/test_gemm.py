@@ -80,3 +80,48 @@ def test_batched_matmul_softmax_epilogue(rng, dtype):
     assert_rel_l2(np.asarray(got), exp.astype(np.float32), tol=tol)
     # rows sum to one, padded columns excluded (n=160 pads to 256 lanes)
     np.testing.assert_allclose(np.asarray(got).sum(-1), 1.0, rtol=1e-3)
+
+
+def test_batched_matmul_softmax_epilogue_resident(rng):
+    """Rung 6b (round 5): the A-resident fixed-max structure — whole-K
+    dots, in-place whole-row normalize, manual DMA store — must match the
+    rows kernel's math, including ragged N (masked pad columns)."""
+    b, m, k, n = 2, 1088, 256, 200
+    a = rng.standard_normal((b, m, k)).astype(np.float32)
+    w = rng.standard_normal((b, k, n)).astype(np.float32)
+    bias = rng.standard_normal((n,)).astype(np.float32)
+    got = ops.batched_matmul_softmax_epilogue(
+        jnp.asarray(a).astype(jnp.bfloat16),
+        jnp.asarray(w).astype(jnp.bfloat16),
+        jnp.asarray(bias), scale=0.125, out_dtype=jnp.bfloat16,
+        resident=True,
+    )
+    z = (np.einsum("bmk,bkn->bmn", a, w) * 0.125 + bias).astype(np.float64)
+    z = z - z.max(-1, keepdims=True)
+    e = np.exp(z)
+    exp = e / e.sum(-1, keepdims=True)
+    assert np.asarray(got).shape == (b, m, n)
+    assert_rel_l2(np.asarray(got, np.float32), exp.astype(np.float32),
+                  tol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32).sum(-1), 1.0, rtol=1e-2
+    )
+
+
+def test_batched_matmul_softmax_epilogue_resident_guard_fallback(rng):
+    """Out-of-band logits (fixed-max range breach) must flip the l-range
+    witness and fall back to the always-correct rows kernel — the output
+    is right for ANY input, same contract as the attention guard."""
+    b, m, k, n = 1, 1024, 256, 128
+    a = 40.0 * rng.standard_normal((b, m, k)).astype(np.float32)
+    w = 40.0 * rng.standard_normal((b, k, n)).astype(np.float32)
+    bias = rng.standard_normal((n,)).astype(np.float32)
+    got = ops.batched_matmul_softmax_epilogue(
+        jnp.asarray(a), jnp.asarray(w), jnp.asarray(bias),
+        scale=1.0, out_dtype=jnp.float32, resident=True,
+    )
+    z = (np.einsum("bmk,bkn->bmn", a, w) * 1.0 + bias).astype(np.float64)
+    z = z - z.max(-1, keepdims=True)
+    e = np.exp(z)
+    exp = e / e.sum(-1, keepdims=True)
+    assert_rel_l2(np.asarray(got), exp.astype(np.float32), tol=1e-2)
