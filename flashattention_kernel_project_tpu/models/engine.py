@@ -576,8 +576,11 @@ def decode_steps(
     jax.jit,
     static_argnums=(0,),
     static_argnames=(
+        # step0 is TRACED (it feeds `step0 + jnp.arange`): the scheduler
+        # advances it every sampled window, and a static step0 would
+        # recompile per round
         "n_steps", "interpret", "axis",
-        "temperature", "top_k", "top_p", "step0",
+        "temperature", "top_k", "top_p",
     ),
 )
 def decode_steps_paged(
@@ -1027,19 +1030,23 @@ def extend_paged(
     step over a page pool (chunk KV appended token-by-token, then one
     paged_flash_extend per layer scores every chunk position). Slots must
     accept T more tokens within their allocated pages (the scheduler's
-    reserve rows guarantee it). bf16 pool only."""
+    reserve rows guarantee it). bf16 AND 8-bit pools (round 5: the chunk
+    quantizes per-token on append, the extend kernel dequants fused)."""
     from flashattention_kernel_project_tpu.ops.paged_decode import (
         paged_append_chunk,
+        paged_append_chunk_quant,
         paged_flash_extend,
     )
 
-    assert not cache.quantized, "extend_paged: bf16 page pool only"
+    quant = cache.quantized
     b, t = tokens.shape
     x = params["embed"][tokens]
     positions = cache.lengths[:, None] + jnp.arange(t)[None, :]
     sin, cos = tfm.rope_tables(cfg, positions)
     k_pages = list(cache.k_pages)
     v_pages = list(cache.v_pages)
+    ks_pages = list(cache.k_scale_pages) if quant else None
+    vs_pages = list(cache.v_scale_pages) if quant else None
     new_lengths = cache.lengths + t
     for i in range(cfg.n_layers):
         layer = jax.tree.map(lambda p: p[i], params["layers"])
@@ -1047,14 +1054,21 @@ def extend_paged(
         q, k, v = _qkv(cfg, layer, h, b, t)
         q = tfm.apply_rope(q, sin, cos)
         k = tfm.apply_rope(k, sin, cos)
-        kd = k.astype(cache.k_pages[0].dtype)
-        vd = v.astype(cache.v_pages[0].dtype)
         # one scatter for the whole T-token chunk (advisor r2: T sequential
         # paged_append calls cost O(T) full-pool functional updates)
-        k_pages[i], v_pages[i] = paged_append_chunk(
-            k_pages[i], v_pages[i], kd, vd,
-            cache.block_tables, cache.lengths,
-        )
+        if quant:
+            (k_pages[i], ks_pages[i],
+             v_pages[i], vs_pages[i]) = paged_append_chunk_quant(
+                k_pages[i], ks_pages[i], v_pages[i], vs_pages[i],
+                k, v, cache.block_tables, cache.lengths,
+            )
+        else:
+            k_pages[i], v_pages[i] = paged_append_chunk(
+                k_pages[i], v_pages[i],
+                k.astype(cache.k_pages[0].dtype),
+                v.astype(cache.v_pages[0].dtype),
+                cache.block_tables, cache.lengths,
+            )
         qd = (
             q.transpose(0, 2, 1, 3).astype(cfg.dtype)
         )  # [B, Hq, T, D]
@@ -1062,6 +1076,8 @@ def extend_paged(
             qd, k_pages[i], v_pages[i],
             cache.block_tables, new_lengths, cache.lengths,
             interpret=interpret,
+            k_scale_pages=ks_pages[i] if quant else None,
+            v_scale_pages=vs_pages[i] if quant else None,
         )  # [B, Hq, T, D]
         x = x + _psum(
             _proj(
@@ -1075,7 +1091,8 @@ def extend_paged(
     logits = _lm_head(params, x.reshape(b * t, -1)).reshape(b, t, -1)
     return logits, PagedKVCache(
         tuple(k_pages), tuple(v_pages), cache.block_tables, new_lengths,
-        None, None,
+        tuple(ks_pages) if quant else None,
+        tuple(vs_pages) if quant else None,
     )
 
 

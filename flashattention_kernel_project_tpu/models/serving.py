@@ -65,6 +65,36 @@ class ServingMetrics:
         )
 
 
+def _host_filtered_probs(z, t, top_k, top_p):
+    """numpy mirror of engine._sample's temperature/top-k/top-p filter,
+    returning the PROBABILITIES the device categorical draws from —
+    the q (draft proposal) and p (target) distributions the rejection
+    rule needs. z: [..., V] f32 logits."""
+    z = np.asarray(z, np.float64) / float(t)
+    v = z.shape[-1]
+    use_k = top_k is not None and 0 < top_k < v
+    use_p = top_p is not None and 0.0 < top_p < 1.0
+    if use_k or use_p:
+        sd = -np.sort(-z, axis=-1)
+        if use_k:
+            kth = sd[..., top_k - 1][..., None]
+            z = np.where(z < kth, -np.inf, z)
+        if use_p:
+            if use_k:
+                sd = np.where(np.arange(v) < top_k, sd, -np.inf)
+            e = np.exp(sd - sd.max(-1, keepdims=True))
+            probs = e / e.sum(-1, keepdims=True)
+            cum = np.cumsum(probs, -1)
+            keep = cum - probs < top_p
+            cutoff = np.min(
+                np.where(keep, sd, np.inf), axis=-1, keepdims=True
+            )
+            z = np.where(z < cutoff, -np.inf, z)
+    z = z - z.max(-1, keepdims=True)
+    e = np.exp(z)
+    return e / e.sum(-1, keepdims=True)
+
+
 class Scheduler:
     """Slot-based continuous batching over the KV-cache engine."""
 
@@ -172,28 +202,30 @@ class Scheduler:
         elif prefix_cache:
             raise ValueError("prefix_cache requires paged=True")
         self.prefix_cache = prefix_cache
-        # speculative decoding (greedy): a draft model proposes spec_k
-        # tokens per round, ONE ragged target extend verifies the whole
-        # batch — committed tokens are exactly what plain greedy decode
-        # would emit (tests pin this), the win is wall-clock. Linear
-        # backend only: the verify extend needs spec_k+1 scratch rows past
-        # each slot's committed length (the admission core reserves them).
+        # speculative decoding: a draft model proposes spec_k tokens per
+        # round, ONE ragged target extend verifies the whole batch.
+        # Greedy slots commit exactly what plain greedy decode would emit
+        # (tests pin this); sampled slots (round 5) run the
+        # rejection-sampling rule (engine.speculative_accept), whose
+        # committed stream is distributed exactly as target-only
+        # temperature sampling. Either way the win is wall-clock. The
+        # verify extend needs spec_k+1 scratch rows past each slot's
+        # committed length (the admission core reserves them).
         self.spec = draft_cfg is not None
         if self.spec:
             if seq_mesh is not None:
                 raise NotImplementedError(
                     "speculative decoding: linear or paged cache (no seq_mesh)"
                 )
-            if paged and (quantized_cache or mesh is not None):
+            if paged and quantized_cache and mesh is not None:
                 raise NotImplementedError(
-                    "speculative x paged: bf16 pool, single-device target "
-                    "(extend_paged has no quantized/TP variant yet)"
+                    "speculative x paged x quantized x TP: the TP paged "
+                    "verify is wired bf16-only (compose any three)"
                 )
-            if self.sampling:
-                raise NotImplementedError(
-                    "in-batch speculative decoding is greedy-only; use "
-                    "engine.speculative_generate for rejection sampling"
-                )
+            # sampling (any temperature/top-k/top-p combination) verifies
+            # via the rejection rule with q = the draft's ACTUAL filtered
+            # proposal distribution and p = the target's filtered
+            # distribution (_host_filtered_probs mirrors engine._sample)
             assert draft_cfg.vocab_size == cfg.vocab_size
             self.draft_cfg = draft_cfg
             self.spec_k = spec_k
@@ -251,13 +283,20 @@ class Scheduler:
                     quantized=quantized_cache, model_axis=model_axis,
                 )
             self._tp_extend = ef
-            self._tp_verify = (
-                tp_engine.make_tp_verify_extend(
+            if not self.spec:
+                self._tp_verify = None
+            elif paged:
+                # spec x paged x TP (round 5): the verify extend runs the
+                # chunk append + ragged extend per shard on the
+                # head-local page pool
+                self._tp_verify = tp_engine.make_tp_paged_verify_extend(
+                    cfg, mesh, model_axis=model_axis, interpret=interpret,
+                )
+            else:
+                self._tp_verify = tp_engine.make_tp_verify_extend(
                     cfg, mesh, model_axis=model_axis,
                     quantized_cache=quantized_cache, interpret=interpret,
                 )
-                if self.spec else None
-            )
             # paged mode prefills full-precision; the page scatter owns
             # the quantization (same rule as the single-device path)
             self._init_cache1 = functools.partial(
@@ -293,11 +332,19 @@ class Scheduler:
         if multi_step > 1:
             # linear, paged, AND TP-mesh backends (the TP window runs the
             # scan inside shard_map: tp_engine.make_tp_decode_steps,
-            # VERDICT r4 task 6); spec and in-batch sampling remain walls
-            if self.spec or self.sampling or seq_mesh is not None:
+            # VERDICT r4 task 6). Scheduler-level sampling rides the scan
+            # (engine._sample inside decode_steps, round 5); spec,
+            # seq_mesh, per-request temperature overrides, and
+            # sampling-over-TP remain walls
+            if self.spec or seq_mesh is not None:
                 raise NotImplementedError(
-                    "multi_step: greedy decode only (no spec/sampling/"
-                    "seq_mesh)"
+                    "multi_step: no spec/seq_mesh composition"
+                )
+            if self.sampling and mesh is not None:
+                raise NotImplementedError(
+                    "multi_step sampling over the TP mesh: not wired "
+                    "(the shard_map window bakes greedy; single-device "
+                    "linear/paged sampling windows are supported)"
                 )
             if mesh is not None:
                 from flashattention_kernel_project_tpu.parallel import (
@@ -365,8 +412,11 @@ class Scheduler:
         if temperature is not None and temperature > 0.0:
             if self._key is None:
                 raise ValueError("per-request temperature needs a key")
-            if self.spec or self.multi_step > 1:
-                raise ValueError("spec/multi_step modes are greedy-only")
+            if self.multi_step > 1:
+                raise ValueError(
+                    "multi_step: per-request temperature overrides are "
+                    "not supported (scheduler-level sampling is)"
+                )
         uid = self.core.submit(len(prompt), max_new_tokens)
         if uid < 0:
             cap = self.max_len - self._reserve
@@ -678,12 +728,23 @@ class Scheduler:
         of its round."""
         k = self.spec_k
         cur = jnp.asarray(self.cur_tokens)
+        B = len(self.slots)
+        temps = self._slot_temp[:B]
+        any_sampled = bool((temps > 0).any()) and self._key is not None
         dl, self.dcache = with_retries(
             self._draft_decode, self._draft_params, cur, self.dcache
         )
         drafts = []
+        dl_steps = []  # sampled slots need q = the draft's proposal dist
         for _ in range(k):
-            d_j = jnp.argmax(dl, axis=-1).astype(jnp.int32)
+            if any_sampled:
+                dl_steps.append(np.asarray(dl, np.float32))
+                # _pick: greedy rows argmax, temp>0 rows sample from
+                # softmax(logits/temp) — exactly the q used in the
+                # rejection rule below
+                d_j = jnp.asarray(self._pick(dl), jnp.int32)
+            else:
+                d_j = jnp.argmax(dl, axis=-1).astype(jnp.int32)
             drafts.append(d_j)
             dl, self.dcache = with_retries(
                 self._draft_decode, self._draft_params, d_j, self.dcache
@@ -716,13 +777,46 @@ class Scheduler:
         d_np = np.asarray(d)
         match = preds[:, :-1] == d_np
         a = np.where(match.all(axis=1), k, np.argmin(match, axis=1))
+        if any_sampled:
+            # per-round host rng for the rejection rule — deterministic
+            # given the scheduler key (the same fold-in discipline as
+            # engine.speculative_generate)
+            import jax as _jax
+
+            self._sample_step += 1
+            host_rng = np.random.default_rng(
+                int(_jax.random.randint(
+                    _jax.random.fold_in(
+                        self._key, 0xACCE0000 + self._sample_step
+                    ), (), 0, 2 ** 31 - 1,
+                ))
+            )
+            all_np = np.asarray(all_l, np.float32)  # [B, k+1, V]
+            dq_np = np.stack(dl_steps, axis=1)      # [B, k, V]
 
         new_len = old_len.copy()
         for i, req in enumerate(self.slots):
             if req is None:
                 new_len[i] = 0  # empty slot: undo the extend's advance
                 continue
-            take = list(d_np[i, : int(a[i])]) + [int(preds[i, int(a[i])])]
+            if any_sampled and temps[i] > 0:
+                # rejection-sampling verify (speculative_accept): the
+                # committed stream is distributed exactly as target-only
+                # sampling (same temperature/top-k/top-p filters) for
+                # this slot; q is the draft's actual filtered proposal
+                p_i = _host_filtered_probs(
+                    all_np[i], temps[i], self.top_k, self.top_p
+                )
+                q_i = _host_filtered_probs(
+                    dq_np[i], temps[i], self.top_k, self.top_p
+                )
+                take = engine.speculative_accept(
+                    p_i, q_i, d_np[i], host_rng
+                )
+            else:
+                take = (
+                    list(d_np[i, : int(a[i])]) + [int(preds[i, int(a[i])])]
+                )
             committed = 0
             for tok in take:
                 committed += 1
@@ -748,6 +842,16 @@ class Scheduler:
         speculative round)."""
         m = self.multi_step
         old_len = np.asarray(self.cache.lengths).copy()
+        # scheduler-level sampling rides INSIDE the scan (round 5):
+        # engine._sample per step with the step counter folded into the
+        # key — deterministic given the scheduler key, like _pick
+        samp = dict(
+            temperature=self.temperature, key=self._key,
+            top_k=self.top_k, top_p=self.top_p,
+            step0=self._sample_step,
+        ) if self.sampling else {}
+        if samp:
+            self._sample_step += m
         if self._tp_steps is not None:
             step_fn = functools.partial(
                 self._tp_steps, self._decode_params,
@@ -757,13 +861,13 @@ class Scheduler:
             step_fn = functools.partial(
                 engine.decode_steps_paged, self.cfg, self._decode_params,
                 jnp.asarray(self.cur_tokens), self.cache, n_steps=m,
-                interpret=self.interpret,
+                interpret=self.interpret, **samp,
             )
         else:
             step_fn = functools.partial(
                 engine.decode_steps, self.cfg, self._decode_params,
                 jnp.asarray(self.cur_tokens), self.cache, n_steps=m,
-                n_splits=self.n_splits, interpret=self.interpret,
+                n_splits=self.n_splits, interpret=self.interpret, **samp,
             )
         toks, self.cache = with_retries(step_fn)
         toks = np.asarray(toks)

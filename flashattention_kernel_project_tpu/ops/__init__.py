@@ -46,6 +46,8 @@ from flashattention_kernel_project_tpu.ops.quant import (  # noqa: F401
 from flashattention_kernel_project_tpu.ops.paged_decode import (  # noqa: F401,E402
     PagePool,
     paged_append,
+    paged_append_chunk,
+    paged_append_chunk_quant,
     paged_append_quant,
     paged_flash_decode,
     paged_flash_decode_quant,

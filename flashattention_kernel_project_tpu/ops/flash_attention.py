@@ -2337,6 +2337,7 @@ def _bwd_dq_kernel(
 def _bwd_pallas(
     res, g, causal, sm_scale, q_offset, block_q, block_k, interpret,
     window=None, sinks=0, fuse_dq=None, ds_bf16=False, tri_subs=None,
+    chunk_kv=None,
 ):
     """FlashAttention-2 backward as two Pallas kernels. Returns (dq, dk, dv).
 
@@ -2528,7 +2529,14 @@ def _bwd_pallas(
         )(*operands_bwd)
 
     if fuse_dq:
-        CH = 8  # kv blocks per chunk: bounds the dq partials at 8 * |q|
+        # kv blocks per chunk: bounds the dq partials at CH * |q|.
+        # Measured at 16K (exactly 16 blocks): one 16-block call reads
+        # 145.8 TF vs 141.5 split 2x8 — the second pallas_call + XLA
+        # accumulate costs ~2% — so the threshold keeps <=16-block
+        # problems in ONE call (a [16, b, hq, n, d] bf16 partials array,
+        # <= 2.1 GB at 16K) and chunks by 8 beyond (32K at 4x8 measured
+        # 0.742, up from the two-kernel form's 0.604).
+        CH = (16 if n_kv <= 16 else 8) if chunk_kv is None else chunk_kv
         dks, dvs = [], []
         dq32 = None
         for j0 in range(0, n_kv, CH):

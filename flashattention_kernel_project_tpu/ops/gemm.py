@@ -602,15 +602,17 @@ def batched_matmul_softmax_epilogue(
         out_dtype=out_dtype, interpret=interpret,
     )
     if resident is None:
-        # VMEM budget for the resident structure at block_m=1024,
-        # block_n=128: 2 A panels + e row buffer + stream/scratch slack
-        need = (
-            2 * 1024 * k * a.dtype.itemsize       # A panels (double-buffered)
-            + 1024 * -(-n // 128) * 128 * esz     # e row buffer
-            + 4 * k * 128 * a.dtype.itemsize      # B panels
-            + (2 << 20)                           # l/z/bias slack
-        )
-        resident = m >= 1024 and need <= (15 << 20)
+        # Default: the ROWS structure. The resident form was built and
+        # MEASURED in round 5 (canonical shape, device-trace): 100.2 TF
+        # (0.509x) at its only compiling width bn=128, vs the rows
+        # kernel's 122.0 (0.619); bn=256 blows scoped VMEM (A panels 8 MB
+        # + e row buffer 4.2 MB leave no room). The decisive probe: the
+        # EPILOGUE-FREE batched matmul at this 32x2048^3 shape maxes at
+        # 0.69x across 8 block configs (whole-K bn128 reads 0.665, the
+        # k-gridded bn128 0.352 — narrow-N is only viable with whole-K
+        # contraction, which is exactly what forces the VMEM-impossible
+        # residency). docs/perf_journal.md round 5 has the full table.
+        resident = False
     if not resident:
         return rows_fn(a, b, bias)
 
@@ -649,7 +651,7 @@ def batched_matmul_softmax_epilogue(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
-            vmem_limit_bytes=int(15.5 * (1 << 20)),
+            vmem_limit_bytes=int(16.5 * (1 << 20)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * mp * np_ * kp,

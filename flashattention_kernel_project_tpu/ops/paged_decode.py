@@ -399,17 +399,20 @@ def _paged_extend_kernel(
     newlen_ref,  # scalar-prefetch [B] int32 lengths AFTER the chunk append
     oldlen_ref,  # scalar-prefetch [B] int32 lengths BEFORE the chunk
     q_ref,       # [1, 1, ROWS, D] — ROWS = pad8(G * T), row = gi*T + tr
-    k_ref,       # [1, 1, page, D]
-    v_ref,
-    o_ref,
-    m_scr,
-    l_scr,
-    acc_scr,
-    *,
+    *refs,
     page_size: int,
     max_pages: int,
     t_chunk: int,
+    quant: bool = False,
 ):
+    if quant:
+        # 8-bit pool: per-token scale rows ride the same page index map;
+        # dequant fused exactly as in _paged_decode_kernel_q (K scale on
+        # the score row, V scale folded into the exp weights)
+        k_ref, ks_ref, v_ref, vs_ref, o_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        ks_ref = vs_ref = None
     """Multi-token causal extend against the paged pool: the T chunk tokens
     (already appended to the pages) fold into the q-tile ROW dim next to
     the GQA group, and each row's causal horizon is its own global position
@@ -433,11 +436,16 @@ def _paged_extend_kernel(
         q = q_ref[0, 0]            # [ROWS, D]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
+        if quant:
+            k = k.astype(q.dtype)
+            v = v.astype(q.dtype)
         rows = q.shape[0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if quant:
+            s = s * ks_ref[0, 0]
         col = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (rows, page_size), 1
         )
@@ -459,8 +467,9 @@ def _paged_extend_kernel(
         l_scr[:] = l_scr[:] * scale + jnp.sum(
             e, axis=-1, keepdims=True, dtype=jnp.float32
         )
+        ew = e * vs_ref[0, 0].astype(e.dtype) if quant else e
         pv = jax.lax.dot_general(
-            e, v, (((1,), (0,)), ((), ())),
+            ew, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scr[:] = acc_scr[:] * scale[:, :1] + pv
@@ -484,6 +493,8 @@ def paged_flash_extend(
     *,
     sm_scale: float | None = None,
     interpret: bool | None = None,
+    k_scale_pages: jax.Array | None = None,
+    v_scale_pages: jax.Array | None = None,
 ) -> jax.Array:
     """Causal multi-token GQA extend against a paged KV cache.
 
@@ -517,24 +528,34 @@ def paged_flash_extend(
     if rows_p != rows:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, rows_p - rows), (0, 0)))
 
+    quant = k_scale_pages is not None
     kernel = functools.partial(
         _paged_extend_kernel, page_size=page_size, max_pages=max_pages,
-        t_chunk=t,
+        t_chunk=t, quant=quant,
     )
 
     def _kv_map(bb, h, p, tbl, nln, oln):
         return (_live_page(tbl, nln, bb, p, page_size), h, 0, 0)
 
+    def _s_map(bb, h, p, tbl, nln, oln):
+        return (_live_page(tbl, nln, bb, p, page_size), h, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, rows_p, d), lambda bb, h, p, tbl, nln, oln: (bb, h, 0, 0)
+        ),
+        pl.BlockSpec((1, 1, page_size, d), _kv_map),
+        pl.BlockSpec((1, 1, page_size, d), _kv_map),
+    ]
+    operands = [qg, k_pages, v_pages]
+    if quant:
+        in_specs.insert(2, pl.BlockSpec((1, 1, 1, page_size), _s_map))
+        in_specs.append(pl.BlockSpec((1, 1, 1, page_size), _s_map))
+        operands = [qg, k_pages, k_scale_pages, v_pages, v_scale_pages]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, hkv, max_pages),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, rows_p, d), lambda bb, h, p, tbl, nln, oln: (bb, h, 0, 0)
-            ),
-            pl.BlockSpec((1, 1, page_size, d), _kv_map),
-            pl.BlockSpec((1, 1, page_size, d), _kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, rows_p, d), lambda bb, h, p, tbl, nln, oln: (bb, h, 0, 0)
         ),
@@ -556,7 +577,7 @@ def paged_flash_extend(
         block_table.astype(jnp.int32),
         new_lengths.astype(jnp.int32),
         old_lengths.astype(jnp.int32),
-        qg, k_pages, v_pages,
+        *operands,
     )
     return (
         out[:, :, :rows].reshape(b, hkv, g, t, d)
@@ -639,6 +660,58 @@ def paged_append_chunk(
         return pages.at[flat_pid, :, flat_off, :].set(vals.astype(pages.dtype))
 
     return write(k_pages, k_new), write(v_pages, v_new)
+
+
+def paged_append_chunk_quant(
+    k_pages: jax.Array,
+    k_scale_pages: jax.Array,
+    v_pages: jax.Array,
+    v_scale_pages: jax.Array,
+    k_new: jax.Array,   # [B, T, Hkv, D] full precision — quantized here
+    v_new: jax.Array,
+    block_table: jax.Array,  # [B, max_pages]
+    lengths: jax.Array,      # [B] length BEFORE the append
+):
+    """paged_append_chunk into an 8-bit pool (round 5: the speculative
+    verify chunk over a quantized pool): per-token symmetric quantization
+    of the whole T-token chunk, ONE scatter per value pool + one per
+    lane-major scale pool. Same capacity guard (overflow -> junk page 0).
+    Returns (k_pages, k_scale_pages, v_pages, v_scale_pages)."""
+    from flashattention_kernel_project_tpu.ops.quant import (
+        quantize_fp8_tokenwise,
+        quantize_int8,
+    )
+
+    page_size = k_pages.shape[2]
+    max_pages = block_table.shape[1]
+    b, t = k_new.shape[:2]
+    pos = lengths[:, None] + jnp.arange(t, dtype=lengths.dtype)[None, :]
+    page_slot = pos // page_size
+    offset = pos % page_size
+    page_ids = jnp.take_along_axis(
+        block_table, jnp.clip(page_slot, 0, max_pages - 1), axis=1
+    )
+    page_ids = jnp.where(page_slot >= max_pages, 0, page_ids)
+    flat_pid = page_ids.reshape(-1)
+    flat_off = offset.reshape(-1)
+
+    quantizer = (
+        quantize_int8 if k_pages.dtype == jnp.int8 else quantize_fp8_tokenwise
+    )
+
+    def write(pages, spages, new):
+        qv, scale = quantizer(new, axis=-1)  # [B, T, Hkv, D], [B, T, Hkv, 1]
+        vals = qv.reshape(b * t, new.shape[2], new.shape[3])
+        sc = scale.reshape(b * t, new.shape[2]).astype(jnp.float32)
+        pages = pages.at[flat_pid, :, flat_off, :].set(
+            vals.astype(pages.dtype)
+        )
+        spages = spages.at[flat_pid, :, 0, flat_off].set(sc)
+        return pages, spages
+
+    k_pages, k_scale_pages = write(k_pages, k_scale_pages, k_new)
+    v_pages, v_scale_pages = write(v_pages, v_scale_pages, v_new)
+    return k_pages, k_scale_pages, v_pages, v_scale_pages
 
 
 class PagePool:

@@ -164,6 +164,37 @@ def make_tp_paged_decode(
     ))
 
 
+def make_tp_paged_verify_extend(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    *,
+    model_axis: str = "model",
+    interpret: bool | None = None,
+):
+    """TP multi-token extend over the PAGED pool returning every
+    position's logits [B, T, V] — speculative decoding's verify pass with
+    the target sharded over the mesh AND a vLLM-style page pool (round 5:
+    the spec x paged x TP wall). The chunk append (paged_append_chunk)
+    and the ragged extend kernel run per shard on the head-local pool,
+    exactly like decode_step_paged in make_tp_paged_decode; bf16 pool
+    (extend_paged's contract)."""
+    tp = mesh.shape[model_axis]
+    lcfg = local_config(cfg, tp)
+    rules = tfm.param_shardings(cfg, model_axis=model_axis)
+    cspecs = paged_cache_specs(False, cfg.n_layers, model_axis)
+
+    def _extend(params, tokens, cache):
+        return engine.extend_paged(
+            lcfg, params, tokens, cache, interpret=interpret,
+            axis=model_axis,
+        )
+
+    return jax.jit(shard_map(
+        _extend, mesh=mesh, check_vma=False,
+        in_specs=(rules, P(), cspecs), out_specs=(P(), cspecs),
+    ))
+
+
 def make_tp_decode_steps(
     cfg: tfm.TransformerConfig,
     mesh: Mesh,

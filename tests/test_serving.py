@@ -702,13 +702,16 @@ def test_scheduler_per_request_temperature():
     rout = ref.run()
     assert g1 == rout[r1]  # greedy slot unaffected by its sampled neighbor
 
+    # spec + per-request temperature (and top-k/p) is OPEN since round 5
+    # (rejection sampling with filtered proposals); per-request overrides
+    # remain walled only for multi_step windows
     import pytest as _pytest
-    spec = Scheduler(
-        CFG, params, max_batch=1, max_len=64,
-        draft_cfg=CFG, draft_params=params, key=jax.random.PRNGKey(0),
+    ms = Scheduler(
+        CFG, params, max_batch=1, max_len=64, multi_step=3,
+        key=jax.random.PRNGKey(0),
     )
     with _pytest.raises(ValueError):
-        spec.submit(p1, max_new_tokens=2, temperature=0.5)
+        ms.submit(p1, max_new_tokens=2, temperature=0.5)
 
 
 def test_scheduler_cancel():
@@ -737,6 +740,160 @@ def test_scheduler_cancel():
     r0 = ref.submit(p[0], max_new_tokens=6)
     rout = ref.run()
     assert out[u0] == rout[r0]  # the survivor is unaffected by eviction
+
+
+def test_scheduler_speculative_paged_over_tp_mesh():
+    """spec x paged x TP (round 5): the verify extend runs per shard on
+    the head-local page pool (make_tp_paged_verify_extend); tokens must
+    equal the plain single-device scheduler's greedy stream."""
+    import dataclasses as dc
+
+    from flashattention_kernel_project_tpu import parallel
+
+    cfg = models.TransformerConfig(
+        vocab_size=64, d_model=32, n_layers=2, n_heads=8, n_kv_heads=4,
+        d_head=16, d_ff=64, dtype=jnp.float32, block_q=16, block_k=16,
+    )
+    params = models.init_params(cfg, jax.random.PRNGKey(0))
+    draft_cfg = dc.replace(cfg, n_layers=1, d_ff=32, n_heads=4, n_kv_heads=2)
+    draft_params = models.init_params(draft_cfg, jax.random.PRNGKey(9))
+    mesh = parallel.make_mesh({"model": 4}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(23)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, size=n).astype(np.int32)
+        for n in (6, 11, 4)
+    ]
+    sp = Scheduler(
+        cfg, params, max_batch=2, max_len=64, mesh=mesh, paged=True,
+        page_size=8, draft_cfg=draft_cfg, draft_params=draft_params,
+        spec_k=3, interpret=True,
+    )
+    uids = [sp.submit(p, max_new_tokens=6) for p in prompts]
+    out = sp.run()
+    assert sp._pool.free_pages == sp._n_pages - 1
+
+    ref = Scheduler(cfg, params, max_batch=2, max_len=64, interpret=True)
+    ruids = [ref.submit(p, max_new_tokens=6) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
+
+
+@pytest.mark.parametrize("paged", [False, True])
+def test_scheduler_multi_step_sampling(paged):
+    """multi_step x scheduler-level sampling (round 5): the window scan
+    samples per step (engine._sample with the folded step counter) —
+    deterministic given the key, valid tokens, and temperature=0 with a
+    key still reproduces plain greedy exactly."""
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(41)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (6, 11)
+    ]
+    kw = dict(paged=True, page_size=8) if paged else {}
+
+    def run(temp):
+        s = Scheduler(
+            CFG, params, max_batch=2, max_len=64, multi_step=3,
+            temperature=temp, key=jax.random.PRNGKey(7), **kw,
+        )
+        uids = [s.submit(p, max_new_tokens=7) for p in prompts]
+        out = s.run()
+        return [out[u] for u in uids]
+
+    a = run(0.8)
+    b = run(0.8)
+    assert a == b  # deterministic given the key
+    for toks in a:
+        assert len(toks) == 7
+        assert all(0 <= t < CFG.vocab_size for t in toks)
+
+    g = run(0.0)  # temp 0 + key: greedy
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64)
+    ruids = [ref.submit(p, max_new_tokens=7) for p in prompts]
+    rout = ref.run()
+    assert g == [rout[u] for u in ruids]
+
+
+def test_scheduler_speculative_sampling():
+    """In-batch speculative SAMPLING (round 5): sampled slots commit via
+    the rejection rule (engine.speculative_accept); greedy slots in the
+    same batch must still match the plain greedy scheduler EXACTLY, and
+    the whole run is deterministic given the scheduler key."""
+    import dataclasses as dc
+
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    draft_cfg = dc.replace(CFG, n_layers=1, d_ff=64)
+    draft_params = models.init_params(draft_cfg, jax.random.PRNGKey(99))
+    rng = np.random.default_rng(31)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (6, 11)
+    ]
+
+    def run(**kw):
+        s = Scheduler(
+            CFG, params, max_batch=2, max_len=64,
+            draft_cfg=draft_cfg, draft_params=draft_params, spec_k=3,
+            temperature=0.0, key=jax.random.PRNGKey(5), **kw,
+        )
+        u0 = s.submit(prompts[0], max_new_tokens=6)  # greedy (default 0)
+        u1 = s.submit(prompts[1], max_new_tokens=6, temperature=0.8)
+        out = s.run()
+        return out[u0], out[u1]
+
+    g0, s1 = run()
+    g0b, s1b = run()
+    assert g0 == g0b and s1 == s1b  # deterministic given the key
+    assert len(s1) == 6 and all(0 <= t < CFG.vocab_size for t in s1)
+
+    # top-k filtered speculative sampling (round 5): q is the draft's
+    # actual filtered proposal, p the target's filtered distribution
+    gk, sk = run(top_k=8)
+    gk2, sk2 = run(top_k=8)
+    assert (gk, sk) == (gk2, sk2)
+    assert len(sk) == 6 and all(0 <= t < CFG.vocab_size for t in sk)
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64)
+    ru = ref.submit(prompts[0], max_new_tokens=6)
+    rout = ref.run()
+    assert g0 == rout[ru], (g0, rout[ru])  # greedy slot unchanged by mix
+
+
+def test_scheduler_speculative_paged_quantized_matches_nonspec():
+    """spec x paged x QUANTIZED pool (round 5): the verify chunk
+    quantizes per-token on append (paged_append_chunk_quant) and the
+    extend kernel dequants fused — committed tokens must exactly match
+    the NON-spec quantized-paged scheduler (same int8 cache numerics,
+    spec only changes the schedule)."""
+    import dataclasses as dc
+
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    draft_cfg = dc.replace(CFG, n_layers=1, d_ff=64)
+    draft_params = models.init_params(draft_cfg, jax.random.PRNGKey(99))
+    rng = np.random.default_rng(27)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (6, 11, 4)
+    ]
+    sp = Scheduler(
+        CFG, params, max_batch=2, max_len=64, paged=True, page_size=8,
+        quantized_cache=True,
+        draft_cfg=draft_cfg, draft_params=draft_params, spec_k=3,
+    )
+    uids = [sp.submit(p, max_new_tokens=6) for p in prompts]
+    out = sp.run()
+    assert sp._pool.free_pages == sp._n_pages - 1
+
+    ref = Scheduler(
+        CFG, params, max_batch=2, max_len=64, paged=True, page_size=8,
+        quantized_cache=True,
+    )
+    ruids = [ref.submit(p, max_new_tokens=6) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
 
 
 @pytest.mark.parametrize("same_draft", [True, False])
