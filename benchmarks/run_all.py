@@ -299,6 +299,24 @@ def build_benches(quick: bool, long: bool = False):
         flops=int(10 * B * H * N * N * D * 0.5),
         bytes_accessed=attn_bytes(B, H, HKV, N, D, bwd=True),
         chain=lambda out, args: (_couple(out[0], out[1], out[2]),))
+
+    # non-causal bwd (round 5): the fused kernel with no diagonal at all —
+    # the number that isolated the causal gap as dead work (r4 probe read
+    # 0.890); a canonical row pins it
+    def _bwd_res_f(q_, k_, v_):
+        o_, l_ = ops.flash_attention_with_lse(q_, k_, v_, causal=False)
+        _jax.block_until_ready(o_)
+        return (q_, k_, v_, o_, l_)
+
+    res4f = _bwd_res_f(q, k, v)
+
+    def _bwd_full_cap(g_, res=res4f):
+        return _bwdp(res, g_, False, smr, 0, None, None, None)
+
+    reg("flashattn_bwd_full_d128_seq4k", _bwd_full_cap, (q,),
+        flops=int(10 * B * H * N * N * D),
+        bytes_accessed=attn_bytes(B, H, HKV, N, D, bwd=True),
+        chain=lambda out, args: (_couple(out[0], out[1], out[2]),))
     # grad rung (training step shape): fwd + bwd in one call; useful = 7
     # units (2 fwd + 5 bwd), causal-halved
     reg("flashattn_grad_causal_d128_seq4k", _fa_grads, (q, k, v),
