@@ -780,11 +780,13 @@ def _fwd_kernel_packed(
         it = jax.lax.broadcasted_iota(jnp.int32, (rows, n_cols), 0)
         return jax.lax.rem(it, block_q) if g_stack > 1 else it
 
-    def _pack(a, b_):  # [sub, d] x2 -> block-diagonal [2*sub, 2d]
-        z = jnp.zeros_like(a)
-        return jnp.concatenate(
-            [jnp.concatenate([a, z], 1), jnp.concatenate([z, b_], 1)], 0
-        )
+    # K/V arrive PRE-PACKED by the wrapper (round 5): per KV tile, rows
+    # [0:bk] = [k_A | 0] and [bk:2bk] = [0 | k_B] (V: [v | ones] both
+    # halves). The r1-r4 kernel built this block-diagonal tile in-VPU per
+    # (q, kv) visit — zeros + two concats over [2bk, 2d] elements, pure
+    # VPU work the packed-envelope probe (0.380x) deliberately excluded.
+    # Prepacking trades that for 2x K/V HBM bytes (~1% of the call) and
+    # one XLA construction pass per call.
 
     def _mask_scores(s, start, dsub):
         # s: [rows, 2*dsub] log2-domain scores, halves = heads A | B over
@@ -805,19 +807,19 @@ def _fwd_kernel_packed(
             mask = cm if mask is None else jnp.logical_and(mask, cm)
         return jnp.where(mask, s, NEG_INF)
 
-    def _pv(p, v_a, v_b, dsub):
-        # PV with MXU-computed row sums: V is augmented with a 64-lane
-        # block of ONES, so lanes [d, 2d) of each head's accumulator
-        # receive sum(p) — the softmax denominator — from the SAME matmul
-        # that computes P·V. At d = 64 the PV output tile was lane-padded
-        # to 128 anyway, so the ones block costs zero extra MXU time and
-        # deletes the per-block VPU sum pass outright (measured: the d64
-        # kernel is VPU-bound on the score tile — exp2 + sum — at ~70 TF;
-        # sum was ~half of that chain).
-        ones = jnp.ones((dsub, d), v_a.dtype)
-        va = jnp.concatenate([v_a, ones], 1)  # [dsub, 2d]
-        vb = jnp.concatenate([v_b, ones], 1)
-        for half_p, v_aug, off in ((p[:, :dsub], va, 0), (p[:, dsub:], vb, 2 * d)):
+    def _pv(p, dsub, start):
+        # PV with MXU-computed row sums: the prepacked V rows carry
+        # [v | ones], so lanes [d, 2d) of each head's accumulator receive
+        # sum(p) — the softmax denominator — from the SAME matmul that
+        # computes P·V (the ones lanes ride the lane padding d=64 pays
+        # anyway; deletes the per-block VPU sum pass). A-half rows live at
+        # [start, start+dsub), B-half at [block_k+start, ...): contiguous
+        # slices, no concat.
+        for half_p, vbase, off in (
+            (p[:, :dsub], start, 0),
+            (p[:, dsub:], block_k + start, 2 * d),
+        ):
+            v_aug = v_ref[0, 0, vbase : vbase + dsub]
             acc_scr[:, off : off + 2 * d] = acc_scr[
                 :, off : off + 2 * d
             ] + jax.lax.dot_general(
@@ -828,16 +830,15 @@ def _fwd_kernel_packed(
 
     def _compute(masked: bool):
         q = _q_tile()
-        k_pack = _pack(k_ref[0, 0], k_ref[0, 1])  # [2*bk, 2d]
         s = jax.lax.dot_general(
-            q, k_pack, (((1,), (1,)), ((), ())),
+            q, k_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_precision(q.dtype),
-        )
+        )  # [rows, 2*bk]: columns = [A tokens | B tokens]
         if masked:
             s = _mask_scores(s, 0, block_k)
         p = jnp.exp2(s.astype(o_ref.dtype))
-        _pv(p, v_ref[0, 0], v_ref[0, 1], block_k)
+        _pv(p, block_k, 0)
 
     def _compute_masked_subs():
         # sub-predicated masked path (diagonal/tail/window-edge blocks):
@@ -870,23 +871,43 @@ def _fwd_kernel_packed(
                 )
 
             def _sub(start=start):
-                k_pack = _pack(
-                    k_ref[0, 0, start : start + dsub],
-                    k_ref[0, 1, start : start + dsub],
+                # per-half dots on contiguous prepacked row slices: the
+                # halves share key positions, so ONE [rows, dsub] mask
+                # serves both, and the half's zero lanes make dot(q, kA)
+                # the pure A scores (qB x 0) — no sub-tile pack at all
+                col = kv_idx * block_k + start + jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, dsub), 1
                 )
-                s = jax.lax.dot_general(
-                    q, k_pack, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_precision(q.dtype),
-                )
-                s = _mask_scores(s, start, dsub)
-                p = jnp.exp2(s.astype(o_ref.dtype))
-                _pv(
-                    p,
-                    v_ref[0, 0, start : start + dsub],
-                    v_ref[0, 1, start : start + dsub],
-                    dsub,
-                )
+                mask = col < kv_len if need_tail else None
+                if causal:
+                    row = q_idx * block_q + q_offset + _row_iota(dsub)
+                    cm = col <= row
+                    if window is not None:
+                        wm = col > row - window
+                        if sinks:
+                            wm = jnp.logical_or(wm, col < sinks)
+                        cm = jnp.logical_and(cm, wm)
+                    mask = cm if mask is None else jnp.logical_and(mask, cm)
+                for base, off in (
+                    (start, 0), (block_k + start, 2 * d)
+                ):
+                    s_i = jax.lax.dot_general(
+                        q, k_ref[0, 0, base : base + dsub],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_precision(q.dtype),
+                    )
+                    if mask is not None:
+                        s_i = jnp.where(mask, s_i, NEG_INF)
+                    e = jnp.exp2(s_i.astype(o_ref.dtype))
+                    acc_scr[:, off : off + 2 * d] = acc_scr[
+                        :, off : off + 2 * d
+                    ] + jax.lax.dot_general(
+                        e, v_ref[0, 0, base : base + dsub],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_precision(e.dtype),
+                    )
 
             pl.when(live)(_sub) if live is not None else _sub()
 
@@ -1431,6 +1452,23 @@ def _fwd_packed(
         .transpose(0, 1, 3, 4, 2, 5)
         .reshape(b, pairs, group, np_, 2 * d)
     )
+    # PRE-PACK K/V per tile (round 5; see the kernel note): tile rows
+    # [0:bk] = [k_A | 0], [bk:2bk] = [0 | k_B]; V rows [v | ones] (the
+    # ones lanes feed the MXU softmax-denominator trick). One XLA pass,
+    # 2x K/V bytes — removes the kernel's per-(q, kv)-visit VPU pack.
+    sp_blocks = sp // block_k
+    kA = k[:, 0::2].reshape(b, pairs, sp_blocks, block_k, d)
+    kB = k[:, 1::2].reshape(b, pairs, sp_blocks, block_k, d)
+    zk = jnp.zeros_like(kA)
+    k_in = jnp.concatenate(
+        [jnp.concatenate([kA, zk], -1), jnp.concatenate([zk, kB], -1)], -2
+    ).reshape(b, pairs, 2 * sp, 2 * d)
+    vA = v[:, 0::2].reshape(b, pairs, sp_blocks, block_k, d)
+    vB = v[:, 1::2].reshape(b, pairs, sp_blocks, block_k, d)
+    ov = jnp.ones_like(vA)
+    v_in = jnp.concatenate(
+        [jnp.concatenate([vA, ov], -1), jnp.concatenate([vB, ov], -1)], -2
+    ).reshape(b, pairs, 2 * sp, 2 * d)
 
     diag_subs = max(block_k // 256, 1) if causal else 1
     kernel = functools.partial(
@@ -1493,9 +1531,10 @@ def _fwd_packed(
                 (1, 1, group, block_q, 2 * d),
                 lambda bb, h, i, j: (bb, h, 0, i, 0),
             ),
-            # 2-head KV block: block index h covers heads [2h, 2h+2)
-            pl.BlockSpec((1, 2, block_k, d), kv_map),
-            pl.BlockSpec((1, 2, block_k, d), kv_map),
+            # prepacked 2-head KV tile: rows [A | B], lanes 2d (see the
+            # construction above); the j-th tile is rows [2bk*j, 2bk*(j+1))
+            pl.BlockSpec((1, 1, 2 * block_k, 2 * d), kv_map),
+            pl.BlockSpec((1, 1, 2 * block_k, 2 * d), kv_map),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1518,7 +1557,7 @@ def _fwd_packed(
             transcendentals=b * hq * np_ * sp,
         ),
         interpret=interpret,
-    )(q_in, k, v)
+    )(q_in, k_in, v_in)
     out = (
         out.reshape(b, pairs, group, np_, 2, d)
         .transpose(0, 1, 4, 2, 3, 5)
