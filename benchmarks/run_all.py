@@ -111,6 +111,17 @@ def build_benches(quick: bool, long: bool = False):
         ),
         (a_sm, b_sm, bias_sm), flops=2 * bs * ms**3,
         chain=lambda out, args: (args[0], out.swapaxes(1, 2), args[2]))
+    # the round-5 A-resident fixed-max structure, kept as a measured
+    # research branch (see gemm.py's resident note + the r5 journal:
+    # 0.509x vs rows' 0.617 — the narrow-N whole-K dots it needs cap at
+    # 0.665 and wider panels blow scoped VMEM)
+    reg("gemm_batched_softmax_epilogue_resident",
+        functools.partial(
+            ops.batched_matmul_softmax_epilogue,
+            scale=0.125, out_dtype=jnp.bfloat16, resident=True,
+        ),
+        (a_sm, b_sm, bias_sm), flops=2 * bs * ms**3,
+        chain=lambda out, args: (args[0], out.swapaxes(1, 2), args[2]))
     # config-3 probe split (VERDICT r4 task 6): (a) plain batched matmul
     # at the same shape — the epilogue-free cost of the SAME problem
     # (its own block shapes, not the fused kernel's N-wide-row constraint);
