@@ -330,20 +330,20 @@ class Scheduler:
         self.multi_step = multi_step
         self._tp_steps = None
         if multi_step > 1:
-            # linear, paged, AND TP-mesh backends (the TP window runs the
-            # scan inside shard_map: tp_engine.make_tp_decode_steps,
-            # VERDICT r4 task 6). Scheduler-level sampling rides the scan
-            # (engine._sample inside decode_steps, round 5); spec,
-            # seq_mesh, per-request temperature overrides, and
-            # sampling-over-TP remain walls
-            if self.spec or seq_mesh is not None:
+            # linear, paged, TP-mesh AND seq_mesh backends (the window
+            # scan runs inside shard_map: make_tp_decode_steps /
+            # make_sp_decode_steps). Scheduler-level sampling rides the
+            # single-device scan (engine._sample inside decode_steps,
+            # round 5); spec, per-request temperature overrides, and
+            # sampling-over-mesh remain walls
+            if self.spec:
                 raise NotImplementedError(
-                    "multi_step: no spec/seq_mesh composition"
+                    "multi_step: no spec composition"
                 )
-            if self.sampling and mesh is not None:
+            if self.sampling and (mesh is not None or seq_mesh is not None):
                 raise NotImplementedError(
-                    "multi_step sampling over the TP mesh: not wired "
-                    "(the shard_map window bakes greedy; single-device "
+                    "multi_step sampling over a mesh: not wired (the "
+                    "shard_map windows bake greedy; single-device "
                     "linear/paged sampling windows are supported)"
                 )
             if mesh is not None:
@@ -355,6 +355,19 @@ class Scheduler:
                     cfg, mesh, n_steps=multi_step, model_axis=model_axis,
                     n_splits=n_splits, quantized_cache=quantized_cache,
                     paged=paged, interpret=interpret,
+                )
+            elif seq_mesh is not None:
+                # seq_mesh x multi_step (round 5): the n-step greedy scan
+                # over the LENGTH-sharded cache — shard-local appends +
+                # the all_gather/merge stay inside the scan body
+                from flashattention_kernel_project_tpu.parallel import (
+                    tp_engine,
+                )
+
+                self._tp_steps = tp_engine.make_sp_decode_steps(
+                    cfg, seq_mesh, n_steps=multi_step, seq_axis=seq_axis,
+                    n_splits=n_splits, quantized_cache=quantized_cache,
+                    interpret=interpret,
                 )
         self._reserve = spec_k + 1 if self.spec else (
             multi_step if multi_step > 1 else 0

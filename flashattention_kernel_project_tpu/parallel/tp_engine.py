@@ -344,20 +344,16 @@ def init_sp_cache(
     )
 
 
-def make_sp_decode_step(
+def _make_sp_decode_body(
     cfg: tfm.TransformerConfig,
-    mesh: Mesh,
-    *,
-    seq_axis: str = "sp",
-    n_splits: int | None = None,
-    quantized_cache: bool = False,
-    interpret: bool | None = None,
+    seq_axis: str,
+    n_splits: int | None,
+    quantized_cache: bool,
+    interpret: bool | None,
 ):
-    """Returns decode_fn(params, tokens[B], cache) -> (logits, cache) with
-    the cache length-sharded per init_sp_cache and params replicated
-    (split layout). quantized_cache: the shards are 8-bit + per-token
-    scales; the new token quantizes shard-locally and attention runs the
-    fused-dequant split-KV kernel per shard."""
+    """Shard-local SP decode step body + its in/out specs — shared by the
+    single-step wrapper (make_sp_decode_step) and the multi-step window
+    (make_sp_decode_steps, round 5)."""
     import jax.numpy as jnp
 
     from flashattention_kernel_project_tpu.ops.flash_decode import (
@@ -452,7 +448,67 @@ def make_sp_decode_step(
             new_lengths,
         )
 
+    return _decode, rep_rules, cspecs
+
+
+def make_sp_decode_step(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    *,
+    seq_axis: str = "sp",
+    n_splits: int | None = None,
+    quantized_cache: bool = False,
+    interpret: bool | None = None,
+):
+    """Returns decode_fn(params, tokens[B], cache) -> (logits, cache) with
+    the cache length-sharded per init_sp_cache and params replicated
+    (split layout). quantized_cache: the shards are 8-bit + per-token
+    scales; the new token quantizes shard-locally and attention runs the
+    fused-dequant split-KV kernel per shard."""
+    _decode, rep_rules, cspecs = _make_sp_decode_body(
+        cfg, seq_axis, n_splits, quantized_cache, interpret
+    )
     return jax.jit(shard_map(
         _decode, mesh=mesh, check_vma=False,
+        in_specs=(rep_rules, P(), cspecs), out_specs=(P(), cspecs),
+    ))
+
+
+def make_sp_decode_steps(
+    cfg: tfm.TransformerConfig,
+    mesh: Mesh,
+    *,
+    n_steps: int,
+    seq_axis: str = "sp",
+    n_splits: int | None = None,
+    quantized_cache: bool = False,
+    interpret: bool | None = None,
+):
+    """Greedy multi-step window over the LENGTH-sharded cache (round 5:
+    seq_mesh x multi_step): the n_steps lax.scan runs INSIDE shard_map —
+    per-step shard-local appends, split-KV partials, and the one
+    all_gather + associative merge all stay inside the scan body, so one
+    dispatch advances the whole window. fn(params, tokens[B], cache) ->
+    (tokens [B, n_steps], cache advanced n_steps)."""
+    import jax.numpy as jnp
+
+    _decode, rep_rules, cspecs = _make_sp_decode_body(
+        cfg, seq_axis, n_splits, quantized_cache, interpret
+    )
+
+    def _steps(params, tokens, cache):
+        def body(carry, _):
+            cur, c = carry
+            logits, c = _decode(params, cur, c)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, c), nxt
+
+        (_, cache2), toks = jax.lax.scan(
+            body, (tokens.astype(jnp.int32), cache), None, length=n_steps
+        )
+        return toks.swapaxes(0, 1), cache2
+
+    return jax.jit(shard_map(
+        _steps, mesh=mesh, check_vma=False,
         in_specs=(rep_rules, P(), cspecs), out_specs=(P(), cspecs),
     ))

@@ -779,6 +779,33 @@ def test_scheduler_speculative_paged_over_tp_mesh():
         assert out[u] == rout[ru], (out[u], rout[ru])
 
 
+def test_scheduler_multi_step_seq_mesh_matches_plain():
+    """seq_mesh x multi_step (round 5): the greedy window scan runs over
+    the LENGTH-sharded cache inside shard_map (make_sp_decode_steps) and
+    must produce exactly the plain scheduler's tokens."""
+    from flashattention_kernel_project_tpu import parallel
+
+    params = models.init_params(CFG, jax.random.PRNGKey(0))
+    mesh = parallel.make_mesh({"sp": 4}, devices=jax.devices()[:4])
+    rng = np.random.default_rng(37)
+    prompts = [
+        rng.integers(0, CFG.vocab_size, size=n).astype(np.int32)
+        for n in (6, 11, 4)
+    ]
+    sp = Scheduler(
+        CFG, params, max_batch=2, max_len=64, seq_mesh=mesh,
+        multi_step=3, interpret=True,
+    )
+    uids = [sp.submit(p, max_new_tokens=7) for p in prompts]
+    out = sp.run()
+
+    ref = Scheduler(CFG, params, max_batch=2, max_len=64, interpret=True)
+    ruids = [ref.submit(p, max_new_tokens=7) for p in prompts]
+    rout = ref.run()
+    for u, ru in zip(uids, ruids):
+        assert out[u] == rout[ru], (out[u], rout[ru])
+
+
 @pytest.mark.parametrize("paged", [False, True])
 def test_scheduler_multi_step_sampling(paged):
     """multi_step x scheduler-level sampling (round 5): the window scan
